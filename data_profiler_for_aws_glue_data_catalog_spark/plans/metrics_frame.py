@@ -1,0 +1,56 @@
+"""The long/narrow metrics relation — the engine's output data model.
+
+Mirrors Deequ's ``successMetricsAsDataFrame`` shape
+(DataProfilerForAWSGlueDataCatalog.scala:297):
+
+    entity   string  -- 'Dataset' | 'Column'
+    instance string  -- '*' for dataset-level metrics, else column name
+    name     string  -- metric name, e.g. 'Completeness', 'ApproxQuantiles-0.1'
+    value    double  -- the metric; histogram bin LABELS live in `name`,
+                        never in `value`
+    type     string  -- column's catalog type string (reference attaches it
+                        via a left join, Main.scala:299-303; we embed it at
+                        expression-build time — no join, no extra job)
+
+Everything the engine emits flattens into this schema, so sinks and the
+correctness oracle have one stable contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("entity", StringType()),
+        StructField("instance", StringType()),
+        StructField("name", StringType()),
+        StructField("value", DoubleType()),
+        StructField("type", StringType()),
+    ]
+)
+
+METRIC_COLS = [f.name for f in METRICS_SCHEMA.fields]
+
+
+def empty_metrics(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], METRICS_SCHEMA)
+
+
+def metric_struct(entity: str, instance: str, name, value, col_type: str):
+    """Build one metrics-row struct (name/value may be Columns)."""
+    name_col = name if not isinstance(name, str) else F.lit(name)
+    return F.struct(
+        F.lit(entity).alias("entity"),
+        F.lit(instance).alias("instance"),
+        name_col.alias("name"),
+        value.cast("double").alias("value"),
+        F.lit(col_type).alias("type"),
+    )

@@ -1,0 +1,94 @@
+"""Table sources.
+
+The reference resolves tables through the Glue-backed Hive metastore
+(``sqlContext.table``, DataProfilerForAWSGlueDataCatalog.scala:263) or the
+session catalog in local mode (:188-195). Our engine accepts any
+name->DataFrame mapping; this module builds one from a directory of parquet
+files (the driver's testdata layout) or registers them as temp views so
+both the profiler and plain ``spark.sql`` queries can use them.
+
+Scale note: ``spark.read.parquet`` on a directory of row-grouped parquet is
+already the right scan primitive at 100 TB — split planning by
+``spark.sql.files.maxPartitionBytes``, predicate pushdown and column
+pruning all apply; nothing custom is needed at the source layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), from footer metadata only."""
+    if os.path.isdir(path):
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not files:
+            return []
+        path = os.path.join(path, files[0])
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark 4 rejects nanosecond parquet timestamps outright
+    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
+    they scan as bigint nanos, and we restore TimestampType by a cheap
+    column projection (micros = nanos div 1000 — same truncation DuckDB
+    applies reading the same file). The footer sniff is driver-side
+    metadata only; the scan itself stays fully native/vectorized.
+    """
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """name -> DataFrame for every ``<name>.parquet`` present in sf_dir."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = read_parquet_table(spark, path)
+    return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load and register each table as a replaceable temp view."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

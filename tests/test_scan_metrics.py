@@ -1,0 +1,110 @@
+"""Unit tests for the fused scan-agg metrics (SURVEY.md §5.2):
+adversarial inputs — all-null column, empty table, single row, decimals,
+boolean/date conversion path, quote-in-name columns."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark import ProfilerConfig
+from data_profiler_for_aws_glue_data_catalog_spark.operators.scan_metrics import (
+    scan_metrics_long,
+)
+from tests.conftest import metrics_dict
+
+
+def test_basic_numeric_and_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "bb"), (3, None), (None, "dddd")],
+        "x int, s string",
+    )
+    m = metrics_dict(scan_metrics_long(df, ProfilerConfig()).collect())
+    assert m[("*", "Size")] == 4.0
+    assert m[("x", "Completeness")] == 0.75
+    assert m[("x", "Minimum")] == 1.0
+    assert m[("x", "Maximum")] == 3.0
+    assert m[("x", "Sum")] == 6.0
+    assert m[("x", "Mean")] == 2.0
+    # population stddev of [1,2,3] = sqrt(2/3)
+    assert abs(m[("x", "StandardDeviation")] - math.sqrt(2 / 3)) < 1e-12
+    assert m[("s", "MinLength")] == 1.0
+    assert m[("s", "MaxLength")] == 4.0
+    assert m[("s", "Completeness")] == 0.75
+    assert m[("x", "ApproxCountDistinct")] == 3.0
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([Row(x=None), Row(x=None)], "x double")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("*", "Size")] == 2.0
+    assert m[("x", "Completeness")] == 0.0
+    assert m[("x", "Sum")] is None
+    assert m[("x", "Mean")] is None
+    assert m[("x", "StandardDeviation")] is None
+
+
+def test_empty_table(spark):
+    df = spark.createDataFrame([], "x double, s string")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("*", "Size")] == 0.0
+    assert m[("x", "Sum")] is None
+
+
+def test_single_row(spark):
+    df = spark.createDataFrame([(5.0,)], "x double")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("x", "Mean")] == 5.0
+    assert m[("x", "StandardDeviation")] == 0.0
+
+
+def test_decimal_column_profiled_as_numeric(spark):
+    df = spark.createDataFrame([(1.5,), (2.5,)], "x double").select(
+        F.col("x").cast("decimal(10,2)").alias("x")
+    )
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("x", "Sum")] == 4.0
+    assert m[("x", "Mean")] == 2.0
+
+
+def test_boolean_date_convert_path(spark):
+    df = spark.createDataFrame(
+        [(True, "2020-01-01"), (False, "2020-01-02"), (None, None)],
+        "b boolean, d string",
+    ).select("b", F.col("d").cast("date").alias("d"))
+    skip = scan_metrics_long(df, ProfilerConfig())
+    assert {r["instance"] for r in skip.collect()} == {"*"}
+    m = metrics_dict(
+        scan_metrics_long(df, ProfilerConfig(profile_unsupported_types=True)).collect()
+    )
+    assert m[("b", "MaxLength")] == 5.0  # 'false'
+    assert m[("b", "MinLength")] == 4.0  # 'true'
+    assert m[("d", "MaxLength")] == 10.0
+    assert abs(m[("b", "Completeness")] - 2 / 3) < 1e-15
+
+
+def test_timestamp_skipped_by_default(spark, lineitem):
+    m = scan_metrics_long(lineitem).collect()
+    assert ("l_shipdate", "Completeness") not in metrics_dict(m)
+
+
+def test_quantiles_present_and_monotone(spark, lineitem):
+    m = metrics_dict(scan_metrics_long(lineitem).collect())
+    qs = [m[("l_quantity", f"ApproxQuantiles-{i / 10!r}")] for i in range(1, 11)]
+    assert qs == sorted(qs)
+    assert m[("l_quantity", "ApproxQuantiles-1.0")] == m[("l_quantity", "Maximum")]
+
+
+def test_wide_table_batching(spark):
+    # 150 numeric columns with batch size 64 -> 3 fused jobs, same results
+    data = [(float(i),) * 150 for i in range(10)]
+    cols = ", ".join(f"c{i} double" for i in range(150))
+    df = spark.createDataFrame(data, cols)
+    m = metrics_dict(
+        scan_metrics_long(df, ProfilerConfig(max_fused_columns_per_pass=64)).collect()
+    )
+    assert m[("c0", "Sum")] == 45.0
+    assert m[("c149", "Sum")] == 45.0
+    assert m[("*", "Size")] == 10.0
