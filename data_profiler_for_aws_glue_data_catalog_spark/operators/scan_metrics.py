@@ -148,7 +148,7 @@ def scan_metrics_long(
     if include_size:
         batches[0].add(
             F.count(F.lit(1)),
-            lambda a: [metric_struct("Dataset", "*", "Size", F.col(a), "")],
+            lambda a: [metric_struct("Dataset", "*", "Size", F.col(a), None)],
         )
 
     per_batch = max(1, config.max_fused_columns_per_pass)

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     DateType,
     NumericType,
     StringType,
+    TimestampNTZType,
     TimestampType,
     VarcharType,
 )
@@ -50,7 +51,10 @@ def classify(dtype: DataType, config: ProfilerConfig) -> str | None:
         return None
     if isinstance(dtype, (BooleanType, DateType)):
         return CONVERT
-    if isinstance(dtype, TimestampType) and config.profile_timestamps:
+    if (
+        isinstance(dtype, (TimestampType, TimestampNTZType))
+        and config.profile_timestamps
+    ):
         return CONVERT
     return None
 

@@ -1,0 +1,220 @@
+"""ANSI-SQL oracle generator for the profiler's metric semantics.
+
+The oracle SQL in SURVEY.md §2.A is this engine's *contract*: for every
+metric we emit, this module generates the equivalent ANSI SQL (DuckDB
+dialect-compatible) over the same table. The expressions mirror the
+engine's exactly — same decimal accumulation types, same expression shape
+for the finishing double arithmetic — so results are bit-identical, not
+merely close (see operators/scan_metrics.py "Determinism contract").
+
+Only Entropy depends on libm's ln(), whose last-ulp behavior differs
+between the JVM and C; it is the single metric compared after ROUND(_, 6)
+on both sides (applied by the presentation wrapper in __spark_entry__).
+
+Sketch metrics (ApproxCountDistinct, ApproxQuantiles) have no exact SQL
+equivalent and are deliberately NOT generated here — their queries are
+registered without an oracle (rows-only check).
+"""
+
+from __future__ import annotations
+
+NUM = "num"
+TEXT = "text"
+
+# Profiled columns of the driver testdata tables: (column, kind, spark type)
+# kept static so oracle SQL strings are generated without a Spark session.
+TABLE_COLUMNS: dict[str, list[tuple[str, str, str]]] = {
+    "region": [("r_regionkey", NUM, "int"), ("r_name", TEXT, "string")],
+    "nation": [
+        ("n_nationkey", NUM, "int"),
+        ("n_name", TEXT, "string"),
+        ("n_regionkey", NUM, "int"),
+    ],
+    "customer": [
+        ("c_custkey", NUM, "bigint"),
+        ("c_name", TEXT, "string"),
+        ("c_nationkey", NUM, "int"),
+        ("c_acctbal", NUM, "double"),
+        ("c_mktsegment", TEXT, "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", NUM, "bigint"),
+        ("s_name", TEXT, "string"),
+        ("s_nationkey", NUM, "int"),
+        ("s_acctbal", NUM, "double"),
+    ],
+    "part": [
+        ("p_partkey", NUM, "bigint"),
+        ("p_name", TEXT, "string"),
+        ("p_brand", TEXT, "string"),
+        ("p_type", TEXT, "string"),
+        ("p_size", NUM, "int"),
+        ("p_retailprice", NUM, "double"),
+    ],
+    "orders": [
+        ("o_orderkey", NUM, "bigint"),
+        ("o_custkey", NUM, "bigint"),
+        ("o_orderstatus", TEXT, "string"),
+        ("o_totalprice", NUM, "double"),
+        ("o_orderpriority", TEXT, "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", NUM, "bigint"),
+        ("l_partkey", NUM, "bigint"),
+        ("l_suppkey", NUM, "bigint"),
+        ("l_linenumber", NUM, "int"),
+        ("l_quantity", NUM, "double"),
+        ("l_extendedprice", NUM, "double"),
+        ("l_discount", NUM, "double"),
+        ("l_tax", NUM, "double"),
+        ("l_returnflag", TEXT, "string"),
+        ("l_linestatus", TEXT, "string"),
+    ],
+    "events": [
+        ("event_id", NUM, "bigint"),
+        ("user_id", NUM, "bigint"),
+        ("event_type", TEXT, "string"),
+        ("value", NUM, "double"),
+        ("props", TEXT, "string"),
+    ],
+    "documents": [
+        ("doc_id", NUM, "bigint"),
+        ("text", TEXT, "string"),
+        ("lang", TEXT, "string"),
+        ("source", TEXT, "string"),
+        ("n_chars", NUM, "bigint"),
+    ],
+    "embeddings": [("vec_id", NUM, "bigint"), ("label", NUM, "int")],
+}
+
+_SUM_DEC = "DECIMAL(27,6)"  # keep in sync with scan_metrics.SUM_DECIMAL
+# Spark squares decimal(18,6) into decimal(37,12); DuckDB only widens a
+# multiply to w1+w2, and with w=18 it tries the int64 kernel and overflows —
+# width 19 forces the int128 kernel with result width exactly 38. The VALUES
+# are identical (both exact 6-dp roundings of the input).
+_SQ_DEC = "DECIMAL(19,6)"
+
+
+def _row(entity: str, instance: str, name: str, value_sql: str, typ: str | None) -> str:
+    t = "CAST(NULL AS VARCHAR)" if typ is None else f"'{typ}'"
+    return (
+        f"SELECT '{entity}' AS entity, '{instance}' AS instance, "
+        f"'{name}' AS name, {value_sql} AS value, {t} AS type"
+    )
+
+
+def size_sql(table: str) -> str:
+    return _row("Dataset", "*", "Size", "CAST(COUNT(*) AS DOUBLE)", None) + f" FROM {table}"
+
+
+def _sum_dec(c: str) -> str:
+    return f"CAST(SUM(CAST({c} AS {_SUM_DEC})) AS DOUBLE)"
+
+
+def _stddev_sql(c: str) -> str:
+    xd = f"CAST({c} AS {_SQ_DEC})"
+    sx2 = f"CAST(SUM({xd} * {xd}) AS DOUBLE)"
+    sx = _sum_dec(c)
+    n = f"CAST(COUNT({c}) AS DOUBLE)"
+    # ROUND(_, 6): decimal->double of the scale-12 moment is double-rounded
+    # in DuckDB vs single-rounded in the JVM; 6-dp comparison absorbs the ulp
+    return (
+        f"ROUND(CASE WHEN COUNT({c}) > 0 THEN "
+        f"SQRT(GREATEST(({sx2} - ({sx} * {sx}) / {n}) / {n}, 0.0)) END, 6)"
+    )
+
+
+def scan_metric_rows(table: str, c: str, kind: str, typ: str) -> list[str]:
+    rows = [
+        _row(
+            "Column",
+            c,
+            "Completeness",
+            f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)",
+            typ,
+        )
+    ]
+    if kind == NUM:
+        rows += [
+            _row("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ),
+            _row("Column", c, "Minimum", f"CAST(MIN({c}) AS DOUBLE)", typ),
+            _row("Column", c, "Sum", _sum_dec(c), typ),
+            _row(
+                "Column", c, "Mean", f"{_sum_dec(c)} / COUNT({c})", typ
+            ),
+            _row("Column", c, "StandardDeviation", _stddev_sql(c), typ),
+        ]
+    else:
+        rows += [
+            _row("Column", c, "MaxLength", f"CAST(MAX(LENGTH({c})) AS DOUBLE)", typ),
+            _row("Column", c, "MinLength", f"CAST(MIN(LENGTH({c})) AS DOUBLE)", typ),
+        ]
+    return [r + f" FROM {table}" for r in rows]
+
+
+def freq_metrics_sql(table: str, c: str, typ: str) -> str:
+    """The five frequency scalars from one shared freq CTE (Entropy via
+    H = ln(N) - sum(cnt ln cnt)/N, rounded to 6 dp — the one libm metric)."""
+    return f"""
+WITH freq AS (SELECT {c} AS v, COUNT(*) AS cnt FROM {table} GROUP BY {c}),
+s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) AS DOUBLE) AS d,
+    CAST(SUM(cnt) FILTER (WHERE v IS NOT NULL) AS DOUBLE) AS n,
+    CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND cnt = 1) AS DOUBLE) AS u,
+    CAST(SUM(cnt * LN(CAST(cnt AS DOUBLE))) FILTER (WHERE v IS NOT NULL) AS DOUBLE) AS clnc
+  FROM freq)
+SELECT * FROM (
+  {_row("Column", c, "CountDistinct", "d", typ)} FROM s
+  UNION ALL {_row("Column", c, "Distinctness", "d / n", typ)} FROM s
+  UNION ALL {_row("Column", c, "Entropy",
+                  "ROUND(CASE WHEN n > 0 THEN LN(n) - clnc / n END, 6)", typ)} FROM s
+  UNION ALL {_row("Column", c, "UniqueValueRatio", "u / d", typ)} FROM s
+  UNION ALL {_row("Column", c, "Uniqueness", "u / n", typ)} FROM s
+)"""
+
+
+def histogram_sql(table: str, c: str, typ: str, n_bins: int, null_label: str = "NullValue") -> str:
+    """Histogram.bins + top-k abs/ratio rows; ties broken (cnt DESC, label ASC)."""
+    return f"""
+WITH freq AS (
+  SELECT COALESCE(CAST({c} AS VARCHAR), '{null_label}') AS label, COUNT(*) AS cnt
+  FROM {table} GROUP BY {c}),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+               LEAST(COUNT(*), {n_bins}) AS bins FROM freq),
+topk AS (SELECT label, cnt FROM freq ORDER BY cnt DESC, label ASC LIMIT {n_bins})
+SELECT 'Column' AS entity, '{c}' AS instance, 'Histogram.bins' AS name,
+       CAST(bins AS DOUBLE) AS value, '{typ}' AS type FROM tot
+UNION ALL
+SELECT 'Column', '{c}', 'Histogram.abs.' || label, CAST(cnt AS DOUBLE), '{typ}' FROM topk
+UNION ALL
+SELECT 'Column', '{c}', 'Histogram.ratio.' || label, cnt / (SELECT total FROM tot), '{typ}' FROM topk
+"""
+
+
+def profile_table_sql(
+    table: str,
+    expensive: bool = True,
+    n_bins: int = 10,
+    with_table_name: bool = False,
+) -> str:
+    """Full oracle for profile_table on a testdata table (approx metrics
+    excluded by design — they're checked rows-only)."""
+    cols = TABLE_COLUMNS[table]
+    parts = [size_sql(table)]
+    for c, kind, typ in cols:
+        parts += scan_metric_rows(table, c, kind, typ)
+        if expensive and kind == TEXT:
+            parts.append(f"SELECT * FROM ({freq_metrics_sql(table, c, typ)})")
+            parts.append(f"SELECT * FROM ({histogram_sql(table, c, typ, n_bins)})")
+    body = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    if with_table_name:
+        return f"SELECT entity, instance, name, value, type, '{table}' AS table_name FROM ({body})"
+    return body
+
+
+def profile_database_sql(expensive: bool = False, n_bins: int = 10) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM ({profile_table_sql(t, expensive, n_bins, with_table_name=True)})"
+        for t in TABLE_COLUMNS
+    )

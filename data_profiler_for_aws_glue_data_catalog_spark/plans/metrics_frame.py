@@ -44,13 +44,17 @@ def empty_metrics(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], METRICS_SCHEMA)
 
 
-def metric_struct(entity: str, instance: str, name, value, col_type: str):
-    """Build one metrics-row struct (name/value may be Columns)."""
+def metric_struct(entity: str, instance: str, name, value, col_type: str | None):
+    """Build one metrics-row struct (name/value may be Columns).
+
+    Dataset-level rows carry NULL type, matching the reference where the
+    schema left-join never matches instance='*' (Main.scala:299-303).
+    """
     name_col = name if not isinstance(name, str) else F.lit(name)
     return F.struct(
         F.lit(entity).alias("entity"),
         F.lit(instance).alias("instance"),
         name_col.alias("name"),
         value.cast("double").alias("value"),
-        F.lit(col_type).alias("type"),
+        F.lit(col_type).cast("string").alias("type"),
     )

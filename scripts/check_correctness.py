@@ -1,0 +1,114 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 next to its
+oracle_sql() and compares row count, sorted-by-name columns, and
+order-insensitive exact values. Usage:
+
+    python scripts/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def cell_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("check-correctness")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle, rows-only)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle error: {str(ex)[:300]}")
+            failures += 1
+            continue
+        a, b = norm(sdf), norm(odf)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            failures += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            failures += 1
+            continue
+        bad = []
+        for i in range(len(a)):
+            for c in a.columns:
+                va, vb = a[c].iloc[i], b[c].iloc[i]
+                if (pd.isna(va) and pd.isna(vb)):
+                    continue
+                if not cell_eq(va, vb):
+                    bad.append((i, c, va, vb))
+        if bad:
+            print(f"FAIL  {name}: {len(bad)} cell mismatches; first: {bad[:5]}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(a)} rows exact")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
