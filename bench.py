@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is timed as a full action (collect of a small result); the first
+is preceded by an untimed warmup touch of every input file so JVM/session
+startup and OS page cache don't pollute query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        # testdata is a handful of small files; 16 MB splits give the
+        # CPU-heavy fused agg real parallelism on local[32] (a real cluster
+        # at 100 TB has ample natural splits and doesn't need this)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .appName("data_profiler_for_aws_glue_data_catalog_spark-bench")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    # Headline set: the reference workload (full-DB profile, default and
+    # expensive) + the relational queries + extension operators when present.
+    names = [
+        "profile_database_scan",
+        "profile_lineitem",
+        "profile_orders",
+        "profile_documents",
+        "q1_pricing_summary",
+        "revenue_by_nation",
+    ]
+    names += [
+        n
+        for n in qs
+        if n.startswith(("dedup_", "ann_", "text_", "minhash", "simhash"))
+    ]
+
+    # warmup: one pass so file listing + page cache are hot
+    from data_profiler_for_aws_glue_data_catalog_spark.sources.registry import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if df.columns else 0
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

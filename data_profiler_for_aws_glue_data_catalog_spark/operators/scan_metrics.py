@@ -104,7 +104,10 @@ def _stddev_pop_expr(c: str) -> Column:
     (NOT Spark's sample-stddev default).
     """
     xd = F.col(c).cast(SQ_DECIMAL)
-    sx = F.sum(xd.cast(SUM_DECIMAL)).cast("double")
+    # sx is the SAME expression tree as _deterministic_sum's, so Catalyst
+    # dedups the two into one aggregate buffer (same value: both round the
+    # input to 6 dp before the exact sum).
+    sx = F.sum(F.col(c).cast(SUM_DECIMAL)).cast("double")
     sx2 = F.sum(xd * xd).cast("double")
     n = F.count(F.col(c)).cast("double")
     var = F.try_divide(sx2 - F.try_divide(sx * sx, n), n)
@@ -144,7 +147,12 @@ def scan_metrics_long(
     ]
     profiled = [(c, k, t) for c, k, t in profiled if k is not None]
 
+    # Sketch aggregates (HLL++, percentile) are TypedImperativeAggregates:
+    # one in a pass forces the WHOLE pass onto ObjectHashAggregateExec,
+    # kicking every cheap codegen'd sum/min/max out of whole-stage codegen.
+    # They get their own scan pass instead — two fast scans beat one slow one.
     batches: list[_Batch] = [_Batch()]
+    sketch_batches: list[_Batch] = [_Batch()]
     if include_size:
         batches[0].add(
             F.count(F.lit(1)),
@@ -155,7 +163,9 @@ def scan_metrics_long(
     for i, (c, kind, typ) in enumerate(profiled):
         if i and i % per_batch == 0:
             batches.append(_Batch())
+            sketch_batches.append(_Batch())
         b = batches[-1]
+        sb = sketch_batches[-1]
         col = F.col(c)
 
         def m(name: str, col_name=c, col_type=typ):
@@ -166,7 +176,7 @@ def scan_metrics_long(
 
         b.add(F.try_divide(F.count(col), F.count(F.lit(1))), m("Completeness"))
         if include_approx:
-            b.add(
+            sb.add(
                 F.approx_count_distinct(col, rsd=config.approx_distinct_rsd),
                 m("ApproxCountDistinct"),
             )
@@ -178,7 +188,7 @@ def scan_metrics_long(
             b.add(_stddev_pop_expr(c), m("StandardDeviation"))
             if include_approx:
                 pts = quantile_points(config.n_quantiles)
-                b.add(
+                sb.add(
                     F.percentile_approx(col, pts, config.quantile_accuracy),
                     lambda a, col_name=c, col_type=typ, pts=pts: [
                         metric_struct(
@@ -194,6 +204,7 @@ def scan_metrics_long(
         else:  # text (and convertibles already cast to string)
             b.add(F.max(F.length(col)), m("MaxLength"))
             b.add(F.min(F.length(col)), m("MinLength"))
+    batches += sketch_batches
 
     parts: list[DataFrame] = []
     for b in batches:
