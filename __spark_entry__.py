@@ -173,6 +173,65 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- LLM-pipeline extensions
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _docs_op(fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_t(spark, sf_dir, "documents"))
+
+    return q
+
+
+def _embs_op(fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_t(spark, sf_dir, "embeddings"))
+
+    return q
+
+
+def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import (
+        dedup as D,
+        similarity as S,
+        text_analysis as TA,
+    )
+
+    return {
+        "text_stats": _docs_op(TA.text_stats),
+        "text_language_id": _docs_op(TA.language_id),
+        "text_quality": _docs_op(TA.quality_score),
+        "text_fingerprints": _docs_op(TA.fingerprints),
+        "dedup_exact": _docs_op(D.exact_duplicates),
+        "dedup_ngram_jaccard": _docs_op(D.jaccard_near_duplicates),
+        "dedup_minhash_lsh": _docs_op(D.minhash_lsh_near_duplicates),
+        "dedup_simhash": _docs_op(D.simhash_near_duplicates),
+        "dedup_embedding": _embs_op(D.embedding_near_duplicates),
+        "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
+        "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
+    }
+
+
+def _extension_oracles() -> dict[str, str]:
+    from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
+
+    return {
+        "text_stats": OX.text_stats_sql(),
+        "text_language_id": OX.language_id_sql(),
+        "text_quality": OX.quality_score_sql(),
+        "text_fingerprints": OX.fingerprints_sql(),
+        "dedup_exact": OX.exact_duplicates_sql(),
+        "dedup_ngram_jaccard": OX.jaccard_near_duplicates_sql(),
+        "dedup_minhash_lsh": OX.minhash_lsh_near_duplicates_sql(),
+        "dedup_simhash": OX.simhash_near_duplicates_sql(),
+        "dedup_embedding": OX.embedding_near_duplicates_sql(),
+        "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
+        "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in TPCH_TABLES:
@@ -184,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["metrics_typed_join"] = _metrics_typed_join
     q["q1_pricing_summary"] = _q1_pricing_summary
     q["revenue_by_nation"] = _revenue_by_nation
+    q.update(_extension_queries())
     return q
 
 
@@ -223,4 +283,5 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+    o.update(_extension_oracles())
     return o

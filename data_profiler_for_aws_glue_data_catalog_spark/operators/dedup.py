@@ -1,0 +1,280 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families (SURVEY.md §7 Phase 5 / BASELINE.json north star), all
+expressed with built-in DataFrame ops — no UDFs, no driver loops — and all
+with exact DuckDB oracles (oracle_ext.py):
+
+  exact_duplicates            hash-groupBy on normalized-content md5
+  jaccard_near_duplicates     exact n-gram Jaccard via shingle inverted index
+  minhash_lsh_near_duplicates MinHash signatures -> LSH band join -> verify
+  simhash_near_duplicates     32-bit SimHash -> 4x8-bit band join -> Hamming
+  embedding_near_duplicates   cosine >= t over embedding vectors
+
+Scale notes (100 TB)
+--------------------
+- exact: one shuffle on a 128-bit content hash; group sizes are tiny (true
+  dup groups), no skew concern. Window-over-hash, no join-back.
+- jaccard inverted index: the shingle join is THE canonical near-dup join;
+  its failure mode at scale is hot shingles (df in the millions -> a
+  quadratic bucket). ``max_shingle_df`` drops shingles whose document
+  frequency exceeds the cap BEFORE the self-join (standard practice — a
+  shingle shared by everyone carries no discriminative signal). AQE skew
+  join handles the residual tail.
+- minhash-lsh: candidate generation touches only band-key collisions
+  (b buckets/doc), so the self-join is linear-ish in true-candidate count,
+  not O(n^2). Signatures are fixed k*32-byte arrays — map-side only.
+  Verification re-joins the (id -> shingle set) relation on candidate ids.
+- simhash: fingerprints are 8 bytes/doc; the 4-band pigeonhole guarantees
+  NO false negatives for Hamming distance <= 3. Collision buckets are
+  bounded by vocabulary similarity; verify step is exact Hamming.
+- embedding: the pairwise form is O(n^2)/cross-join — correct as the
+  *verify* kernel; at scale generate candidates first with
+  similarity.ivf_assign buckets and run this within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc exact-dup verdict on normalized content.
+
+    Columns: id, content_md5, group_size, is_keep (keeper = min id of the
+    group). One shuffle (window over the hash); no join.
+    """
+    h = X.md5_hex(X.normalized(F.col(text_col)))
+    w = Window.partitionBy("content_md5")
+    return (
+        docs.select(F.col(id_col), h.alias("content_md5"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keep", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
+def _shingle_sets(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh: array<string>, sz: int) for docs with >= 1 shingle."""
+    sh = X.word_shingles(X.tokens(F.col(text_col)), n)
+    return (
+        docs.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .where(F.col("sz") > 0)
+    )
+
+
+def _pair_jaccard(co: Column, sa: Column, sb: Column) -> Column:
+    return X.round6(
+        F.try_divide(
+            co.cast("double"), (sa + sb - co).cast("double")
+        )
+    )
+
+
+def jaccard_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold
+    (ROUND6'd). Plan: explode shingle sets -> self-equi-join on shingle
+    (shuffle hash join on the shingle key) -> groupBy pair counting
+    co-occurring shingles -> filter on the Jaccard formula
+    |A∩B| / (|A| + |B| - |A∩B|). Set semantics (shingles deduped per doc).
+    """
+    inv = _shingle_sets(docs, text_col, id_col, n).select(
+        "id", "sz", F.explode("sh").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        df_w = Window.partitionBy("shingle")
+        inv = inv.withColumn("_df", F.count(F.lit(1)).over(df_w)).where(
+            F.col("_df") <= max_shingle_df
+        ).drop("_df")
+    a, b = inv.alias("a"), inv.alias("b")
+    co = F.count(F.lit(1)).alias("co")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .agg(co)
+    )
+    j = _pair_jaccard(F.col("co"), F.col("sa"), F.col("sb"))
+    return (
+        pairs.select("doc_a", "doc_b", j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+
+    Candidate pairs collide on >= 1 of ``n_bands`` signature bands
+    (P[candidate] = 1 - (1 - j^r)^b); each candidate is then verified
+    against the exact shingle-set Jaccard and kept when >= threshold.
+    Output: (doc_a, doc_b, jaccard), doc_a < doc_b. A deterministic
+    LSH: hashes are seeded md5, so the candidate set (and thus the result)
+    is engine-reproducible, not a sampling artifact.
+    """
+    assert n_hashes == n_bands * rows_per_band
+    base = _shingle_sets(docs, text_col, id_col, n)
+    sig = base.withColumn("sig", X.minhash_signature(F.col("sh"), n_hashes))
+    keyed = sig.select(
+        "id", F.explode(X.band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sets = base.select("id", "sh", "sz")
+    verified = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _pair_jaccard(
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))),
+                F.col("sa.sz"),
+                F.col("sb.sz"),
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) 32-bit fingerprints of the token multiset."""
+    t = docs.withColumn("_th", X.token_hashes32(X.tokens(F.col(text_col))))
+    return t.select(
+        F.col(id_col).alias("id"),
+        X.simhash32_from_hashes(F.col("_th")).alias("simhash"),
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming <= max_hamming).
+
+    Banding: the 32-bit fingerprint splits into 4 bytes; pairs within
+    Hamming distance <= 3 MUST agree on >= 1 byte (pigeonhole), so a 4-way
+    band equi-join finds all of them — no O(n^2) compare. Exact Hamming
+    verification runs only on band collisions. max_hamming must stay < 4
+    for the completeness guarantee; use more/wider bands for looser radii.
+    """
+    assert max_hamming < 4, "4-band pigeonhole only covers hamming <= 3"
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        (F.shiftright(F.col("simhash"), 8 * i) % F.lit(256)).cast(
+                            "string"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a", "doc_b", X.hamming32(F.col("ha"), F.col("hb")).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def _as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product: left fold in index order (F.aggregate),
+    bit-identical to the oracle's list_reduce mirror."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds _v (array<double>) and _norm columns; drops zero vectors."""
+    out = df.withColumn("_v", _as_double_vec(F.col(vec_col)))
+    out = out.withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    return out.where(F.col("_norm") > 0)
+
+
+def embedding_near_duplicates(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Cosine near-dup pairs: (vec_a, vec_b, cosine >= threshold), a < b.
+
+    Brute-force pairwise cosine — the exact verify kernel. At scale,
+    pre-bucket with similarity.ivf_assign (or LSH) and apply this within
+    buckets; the formula and determinism contract stay identical.
+    """
+    e = with_norm(embs, vec_col).select(
+        F.col(id_col).alias("id"), "_v", "_norm"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = X.round6(
+        dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,385 @@
+"""DuckDB-SQL mirrors of the LLM-pipeline extension operators.
+
+Each builder returns SQL whose expressions reproduce the Spark operators in
+``operators/text_analysis.py`` / ``operators/dedup.py`` /
+``operators/similarity.py`` term-by-term — same normalization, same md5
+hashing, same integer arithmetic, same fixed-shape double expressions, same
+floor-based ROUND6 — so the driver's value-hash comparison passes exactly.
+
+SQL-string helpers take the *text of an expression* (a column name or
+nested SQL) and return the text of the derived expression.
+"""
+
+from __future__ import annotations
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators.text_analysis import (
+    LANGS,
+    STOPWORDS,
+    TOKEN_EST_PATTERN,
+)
+
+HEX = "0123456789abcdef"
+
+
+def norm_sql(c: str) -> str:
+    return f"trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def toks_sql(c: str) -> str:
+    return f"list_filter(string_split({norm_sql(c)}, ' '), t -> t <> '')"
+
+
+def round6_sql(x: str) -> str:
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def shingles_sql(toks: str, n: int) -> str:
+    """Distinct word n-gram shingles of a token-list expression."""
+    grams = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i + {n - 1}], ' '))"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN {grams} "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+def seeded_hash_sql(s: str, seed: int) -> str:
+    return f"md5('{seed}|' || ({s}))"
+
+
+def hex32_to_long_sql(h: str) -> str:
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def token_hashes32_sql(toks: str) -> str:
+    return (
+        f"list_transform(list_transform({toks}, t -> md5(t)), "
+        f"h -> {hex32_to_long_sql('h')})"
+    )
+
+
+def simhash32_sql(hashes: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hashes}, "
+        f"v -> ((v >> {j}) & 1) * 2 - 1)) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"(CASE WHEN len({hashes}) > 0 THEN {bits} ELSE 0 END)"
+
+
+def stop_hits_sql(toks: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+def _docs_with_tokens(table: str, text_col: str, id_col: str) -> str:
+    return (
+        f"SELECT {id_col}, {text_col} AS _text, {toks_sql(text_col)} AS _toks "
+        f"FROM {table}"
+    )
+
+
+def text_stats_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    nt = "len(_toks)"
+    nc = "length(_text)"
+    return f"""
+WITH base AS ({_docs_with_tokens(table, text_col, id_col)})
+SELECT {id_col},
+  {nc} AS n_chars,
+  {nt} AS n_tokens,
+  len(list_distinct(_toks)) AS n_distinct_tokens,
+  {round6_sql(f"length(array_to_string(_toks, '')) / nullif({nt}, 0)")} AS avg_token_len,
+  len(regexp_extract_all(lower(_text), '{TOKEN_EST_PATTERN}')) AS token_est,
+  {round6_sql(f"len(regexp_extract_all(lower(_text), '[a-z]')) / nullif({nc}, 0)")} AS alpha_ratio,
+  {round6_sql(f"len(regexp_extract_all(lower(_text), '[0-9]')) / nullif({nc}, 0)")} AS digit_ratio
+FROM base
+"""
+
+
+def language_id_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    hit_cols = ",\n  ".join(
+        f"{stop_hits_sql('_toks', lang)} AS hits_{lang}" for lang in LANGS
+    )
+    gm = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANGS) + ")"
+    pred = "CASE WHEN " + gm + " = 0 THEN 'und' "
+    for lang in LANGS:
+        pred += f"WHEN hits_{lang} = {gm} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    cols = ", ".join(f"hits_{lang}" for lang in LANGS)
+    return f"""
+WITH base AS ({_docs_with_tokens(table, text_col, id_col)}),
+h AS (SELECT {id_col},
+  {hit_cols}
+FROM base)
+SELECT {id_col}, {cols}, {pred} AS lang_pred FROM h
+"""
+
+
+def quality_score_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH base AS ({_docs_with_tokens(table, text_col, id_col)}),
+c AS (SELECT {id_col},
+  CAST(length(_text) AS DOUBLE) AS n_chars,
+  len(_toks) AS n_tokens,
+  {stop_hits_sql('_toks', 'en')} AS stop_hits,
+  len(regexp_extract_all(lower(_text), '[0-9]')) AS digits
+FROM base),
+s AS (SELECT {id_col},
+  least(n_chars / 500.0, 1.0) AS len_score,
+  least(5.0 * coalesce(CAST(stop_hits AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0), 0.0), 1.0) AS stop_score,
+  coalesce(CAST(digits AS DOUBLE) / nullif(n_chars, 0), 0.0) AS digit_ratio
+FROM c)
+SELECT {id_col},
+  {round6_sql('len_score')} AS len_score,
+  {round6_sql('stop_score')} AS stop_score,
+  {round6_sql('digit_ratio')} AS digit_ratio,
+  {round6_sql('0.4 * len_score + 0.4 * stop_score + 0.2 * (1.0 - digit_ratio)')} AS quality
+FROM s
+"""
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Left-fold dot product in index order — mirrors operators.dedup.dot
+    (F.aggregate over zip_with): list_reduce folds ((p1+p2)+p3)..., which
+    equals Spark's ((0.0+p1)+p2)... bit-for-bit."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a})[i] * ({b})[i]), (x, y) -> x + y)"
+    )
+
+
+def exact_duplicates_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH h AS (SELECT {id_col}, md5({norm_sql(text_col)}) AS content_md5 FROM {table})
+SELECT {id_col}, content_md5,
+  count(*) OVER (PARTITION BY content_md5) AS group_size,
+  {id_col} = min({id_col}) OVER (PARTITION BY content_md5) AS is_keep
+FROM h
+"""
+
+
+def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
+    return f"""
+SELECT id, sh, len(sh) AS sz FROM (
+  SELECT {id_col} AS id, {shingles_sql(toks_sql(text_col), n)} AS sh FROM {table}
+) WHERE len(sh) > 0
+"""
+
+
+def _jaccard_sql(co: str, sa: str, sb: str) -> str:
+    return round6_sql(
+        f"CAST({co} AS DOUBLE) / CAST({sa} + {sb} - ({co}) AS DOUBLE)"
+    )
+
+
+def jaccard_near_duplicates_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    return f"""
+WITH s AS ({_shingle_sets_sql(table, text_col, id_col, n)}),
+inv AS (SELECT id, sz, unnest(sh) AS shingle FROM s),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, a.sz AS sa, b.sz AS sb, count(*) AS co
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b, {_jaccard_sql('co', 'sa', 'sb')} AS jaccard FROM pairs
+) WHERE jaccard >= {threshold}
+"""
+
+
+def minhash_lsh_near_duplicates_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> str:
+    sig_items = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> {seeded_hash_sql('s', i)}), 'min')"
+        for i in range(n_hashes)
+    )
+    band_items = ", ".join(
+        "'b{b}:' || ".format(b=b)
+        + " || ".join(
+            f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH s AS ({_shingle_sets_sql(table, text_col, id_col, n)}),
+sig AS (SELECT id, sh, sz, [{sig_items}] AS sig FROM s),
+bands AS (SELECT id, unnest([{band_items}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    {_jaccard_sql('len(list_intersect(sa.sh, sb.sh))', 'sa.sz', 'sb.sz')} AS jaccard
+  FROM cand JOIN sig sa ON cand.doc_a = sa.id JOIN sig sb ON cand.doc_b = sb.id
+) WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_fingerprints_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH base AS ({_docs_with_tokens(table, text_col, id_col)}),
+w AS (SELECT {id_col} AS id, {token_hashes32_sql('_toks')} AS _th FROM base)
+SELECT id, {simhash32_sql('_th')} AS simhash FROM w
+"""
+
+
+def simhash_near_duplicates_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    return f"""
+WITH fp AS ({simhash_fingerprints_sql(table, text_col, id_col)}),
+banded AS (
+  SELECT id, simhash, unnest(list_transform([0, 1, 2, 3],
+    i -> CAST(i AS VARCHAR) || ':' || CAST((simhash >> (8 * i)) & 255 AS VARCHAR)
+  )) AS bk FROM fp
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming FROM cand
+) WHERE hamming <= {max_hamming}
+"""
+
+
+def _normed_vectors_sql(table: str, vec_col: str, id_col: str) -> str:
+    return f"""
+SELECT id, v, nrm FROM (
+  SELECT {id_col} AS id, v, sqrt({dot_sql('v', 'v')}) AS nrm
+  FROM (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table})
+) WHERE nrm > 0
+"""
+
+
+def embedding_near_duplicates_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> str:
+    cos = round6_sql(f"({dot_sql('a.v', 'b.v')}) / (a.nrm * b.nrm)")
+    return f"""
+WITH e AS ({_normed_vectors_sql(table, vec_col, id_col)})
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.id AS vec_a, b.id AS vec_b, {cos} AS cosine
+  FROM e a JOIN e b ON a.id < b.id
+) WHERE cosine >= {threshold}
+"""
+
+
+def cosine_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = round6_sql(f"({dot_sql('q.qv', 'n.v')}) / (q.qn * n.nrm)")
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+q AS (SELECT id AS query_id, v AS qv, nrm AS qn FROM n WHERE id IN ({ids})),
+scored AS (
+  SELECT q.query_id, n.id AS neighbor_id, {cos} AS cosine
+  FROM n CROSS JOIN q WHERE n.id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    acos = round6_sql(f"({dot_sql('n.v', 'c.cv')}) / (n.nrm * c.cn)")
+    pcos = round6_sql(f"({dot_sql('q.qv', 'c.cv')}) / (q.qn * c.cn)")
+    scos = round6_sql(f"({dot_sql('p.qv', 'a.v')}) / (p.qn * a.nrm)")
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
+assigned AS (
+  SELECT id, v, nrm, cell FROM (
+    SELECT n.id, n.v, n.nrm, c.cell,
+      row_number() OVER (PARTITION BY n.id ORDER BY {acos} DESC, c.cell ASC) AS rn
+    FROM n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS query_id, v AS qv, nrm AS qn FROM n WHERE id IN ({ids})),
+probes AS (
+  SELECT query_id, cell, qv, qn FROM (
+    SELECT q.query_id, c.cell, q.qv, q.qn,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY {pcos} DESC, c.cell ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id, {scos} AS cosine
+  FROM assigned a JOIN probes p USING (cell) WHERE a.id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def fingerprints_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+) -> str:
+    sh = shingles_sql("_toks", shingle_words)
+    minh = (
+        f"CASE WHEN len(_sh) > 0 THEN "
+        f"list_aggregate(list_transform(_sh, s -> {seeded_hash_sql('s', 0)}), 'min') "
+        f"ELSE NULL END"
+    )
+    return f"""
+WITH base AS ({_docs_with_tokens(table, text_col, id_col)}),
+w AS (SELECT {id_col}, _text, _toks, {sh} AS _sh,
+      {token_hashes32_sql('_toks')} AS _th
+FROM base)
+SELECT {id_col},
+  md5({norm_sql('_text')}) AS content_md5,
+  {minh} AS min_shingle_hash,
+  {simhash32_sql('_th')} AS simhash
+FROM w
+"""
