@@ -209,6 +209,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _docs_op(D.minhash_lsh_near_duplicates),
         "dedup_simhash": _docs_op(D.simhash_near_duplicates),
         "dedup_embedding": _embs_op(D.embedding_near_duplicates),
+        "dedup_embedding_exact": _embs_op(
+            lambda e: D.embedding_near_duplicates(e, n_cells=None)
+        ),
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
     }
@@ -227,6 +230,7 @@ def _extension_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": OX.minhash_lsh_near_duplicates_sql(),
         "dedup_simhash": OX.simhash_near_duplicates_sql(),
         "dedup_embedding": OX.embedding_near_duplicates_sql(),
+        "dedup_embedding_exact": OX.embedding_near_duplicates_sql(n_cells=None),
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
     }

@@ -58,10 +58,14 @@ def main() -> None:
         "q1_pricing_summary",
         "revenue_by_nation",
     ]
+    # Exact brute-force kernels are correctness aids, not headline ops —
+    # their scale path (IVF-bucketed / LSH) is what gets benched.
+    exclude = {"dedup_embedding_exact"}
     names += [
         n
         for n in qs
         if n.startswith(("dedup_", "ann_", "text_", "minhash", "simhash"))
+        and n not in exclude
     ]
 
     # warmup: one pass so file listing + page cache are hot

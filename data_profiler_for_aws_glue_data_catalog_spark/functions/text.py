@@ -50,10 +50,51 @@ def word_shingles(toks: Column, n: int) -> Column:
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            # element_at per position instead of slice(): slice allocates a
+            # fresh sub-array per gram; O(1) element reads don't
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def hashed_word_shingles(toks: Column, n: int) -> Column:
+    """array<bigint> of distinct 60-bit hashes of word n-grams.
+
+    The gram STRINGS are transient inside this one map expression — what
+    flows through the plan (dedup/cache/explode/join/groupBy) is 8-byte
+    longs, not ~n*word-length strings. h = first 15 hex digits of
+    md5(gram) as an integer (< 2^60): collision probability for D distinct
+    shingles ~ D^2/2^61 — ~4e-7 at 1M shingles, still < 1e6 colliding
+    PAIRS at 10^12 shingles (a vanishing relative error in co-occurrence
+    counts; use the string path if exactness to the last pair is required).
+    Mirrored bit-for-bit by oracle_ext.hex60_to_long_sql.
+    """
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: hex60_to_long(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+                    ).cast("binary")
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
+def hex60_to_long(h: Column) -> Column:
+    """bigint value of the first 15 hex chars of ``h`` (0 .. 2^60-1).
+
+    Same native conv() trick as :func:`hex32_to_long`; 15 digits keep the
+    unsigned conv result well inside the positive bigint range.
+    """
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
 
 
 def char_shingles(col: Column, n: int) -> Column:
@@ -84,36 +125,73 @@ def seeded_hash(col: Column, seed: int) -> Column:
     return md5_hex(F.concat(F.lit(f"{seed}|"), col))
 
 
-def minhash_signature(shingles: Column, n_hashes: int) -> Column:
-    """array<string> MinHash signature: for each seed i, the lexicographic
-    MIN of seeded md5 hex over the shingle set; NULL-free only when the
-    shingle set is non-empty (callers filter empty docs first).
+# MinHash hash family: h_i(x) = (A[i] * x + B[i]) mod 2^32 over the 32-bit
+# md5-derived shingle hash x. One md5 per shingle total (vs one per shingle
+# PER SEED with seeded-md5 MinHash — a 12x md5 saving at n_hashes=12); the
+# affine transforms are exact int64 arithmetic with a 1:1 DuckDB mirror
+# (A < 2^29 and x < 2^32 keep A*x + B < 2^62, no overflow in either engine).
+# Fixed public constants (odd multipliers, arbitrary odd offsets).
+MINHASH_A = (
+    179424673, 275604541, 373587883, 472882027, 533000389, 479001599,
+    198491317, 295075147, 393342739, 492876847, 433024223, 104395301,
+)
+MINHASH_B = (
+    15485863, 32452843, 49979687, 67867967, 86028121, 104395303,
+    122949823, 141650939, 160481183, 179424691, 198491329, 217645177,
+)
+M32 = 2**32
 
-    One pass per seed over an in-memory array (TransformExpression) — no
-    shuffle, no UDF; cost is O(n_hashes * |shingles|) cheap md5 calls per
-    row, embarrassingly parallel across rows.
+
+def shingle_hashes32(shingles: Column) -> Column:
+    """array<bigint>: one 32-bit md5-derived hash per shingle.
+
+    MATERIALIZE this as its own column (withColumn) before passing it to
+    :func:`minhash_from_hashes` — the signature references it once per
+    hash-family member, and only a column boundary makes Spark compute it
+    once (CollapseProject refuses to inline a non-cheap expression used
+    more than once; expression-internal duplication would re-run the md5s
+    n_hashes times).
     """
+    return F.transform(shingles, lambda s: hex32_to_long(md5_hex(s)))
+
+
+def minhash_from_hashes(hs: Column, n_hashes: int) -> Column:
+    """array<bigint> MinHash signature from per-shingle 32-bit hashes:
+    sig[i] = MIN over shingles of (A[i]*h + B[i]) mod 2^32.
+
+    One md5 per shingle TOTAL (in ``hs``) — the affine family members are
+    pure int64 arithmetic. NULL-free only when the shingle set is non-empty
+    (callers filter empty docs first). Map-side only — no shuffle, no UDF.
+    """
+    assert n_hashes <= len(MINHASH_A)
+
+    def affine(i: int):
+        # single-arg lambda: a 2-parameter lambda would make F.transform
+        # pass the element INDEX as the second argument
+        a = F.lit(MINHASH_A[i]).cast("bigint")
+        b = F.lit(MINHASH_B[i]).cast("bigint")
+        return lambda h: F.pmod(a * h + b, F.lit(M32).cast("bigint"))
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: seeded_hash(s, i)))
-            for i in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(hs, affine(i))) for i in range(n_hashes)]
     )
 
 
 def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
-    """array<string> of LSH band bucket keys: 'b<i>:' || concat(band rows).
+    """array<string> of LSH band bucket keys:
+    'b<i>:' || sig[r0] || ':' || sig[r1] || ...
 
+    The ':' separator keeps variable-width integer components unambiguous.
     Two docs collide on band i iff their signatures agree on all
     ``rows_per_band`` components of that band.
     """
     return F.array(
         *[
             F.concat_ws(
-                "",
-                F.lit(f"b{b}:"),
+                ":",
+                F.lit(f"b{b}"),
                 *[
-                    F.element_at(signature, b * rows_per_band + r + 1)
+                    F.element_at(signature, b * rows_per_band + r + 1).cast("string")
                     for r in range(rows_per_band)
                 ],
             )
@@ -139,19 +217,14 @@ _HEX_DIGITS = "0123456789abcdef"
 def hex32_to_long(h: Column) -> Column:
     """bigint value of the first 8 hex chars of ``h`` (0 .. 2^32-1).
 
-    Recovered via strpos('0123456789abcdef', char) - 1 per nibble — pure
-    integer arithmetic with an exact DuckDB mirror, avoiding engine-specific
-    hex->int casts (conv()'s signedness/width differs across engines).
+    One native ``conv(hex, 16, 10)`` + cast. 8 hex digits < 2^32, so
+    conv's unsigned-64 semantics can't wrap — the VALUE equals the plain
+    positional sum the DuckDB oracle computes nibble-by-nibble
+    (oracle_ext.hex32_to_long_sql); only the implementation differs (the
+    8x substring/strpos expression tree costs ~8x more interpreted ops
+    per value, which dominates hashing-heavy operators).
     """
-    out: Column | None = None
-    for i in range(8):
-        nib = (F.instr(F.lit(_HEX_DIGITS), F.substring(h, i + 1, 1)) - F.lit(1)).cast(
-            "bigint"
-        )
-        term = nib * F.lit(16 ** (7 - i)).cast("bigint")
-        out = term if out is None else out + term
-    assert out is not None
-    return out
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
 
 
 def token_hashes32(toks: Column) -> Column:

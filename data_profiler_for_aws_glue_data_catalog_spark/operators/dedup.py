@@ -8,7 +8,7 @@ with exact DuckDB oracles (oracle_ext.py):
   jaccard_near_duplicates     exact n-gram Jaccard via shingle inverted index
   minhash_lsh_near_duplicates MinHash signatures -> LSH band join -> verify
   simhash_near_duplicates     32-bit SimHash -> 4x8-bit band join -> Hamming
-  embedding_near_duplicates   cosine >= t over embedding vectors
+  embedding_near_duplicates   cosine >= t, IVF-bucketed candidates by default
 
 Scale notes (100 TB)
 --------------------
@@ -16,20 +16,30 @@ Scale notes (100 TB)
   dup groups), no skew concern. Window-over-hash, no join-back.
 - jaccard inverted index: the shingle join is THE canonical near-dup join;
   its failure mode at scale is hot shingles (df in the millions -> a
-  quadratic bucket). ``max_shingle_df`` drops shingles whose document
-  frequency exceeds the cap BEFORE the self-join (standard practice — a
-  shingle shared by everyone carries no discriminative signal). AQE skew
-  join handles the residual tail.
+  quadratic bucket). ``max_shingle_df`` (DEFAULT ON, 1000) drops postings of
+  shingles whose document frequency exceeds the cap BEFORE the self-join —
+  standard practice: a shingle shared by everyone carries no discriminative
+  signal. The cap is applied with a broadcast anti-join against the (tiny)
+  hot-shingle list, not a window: the window would shuffle + sort EVERY
+  posting, the aggregation reduces map-side first. Jaccard denominators keep
+  the ORIGINAL set sizes, so capped scores are a documented lower bound of
+  the true Jaccard (exact whenever no shingle of the pair is hot).
+  AQE skew join handles the residual tail.
 - minhash-lsh: candidate generation touches only band-key collisions
   (b buckets/doc), so the self-join is linear-ish in true-candidate count,
-  not O(n^2). Signatures are fixed k*32-byte arrays — map-side only.
+  not O(n^2). Signatures are fixed k*8-byte arrays — map-side only, ONE md5
+  per shingle (affine hash family on top, functions/text.py).
   Verification re-joins the (id -> shingle set) relation on candidate ids.
 - simhash: fingerprints are 8 bytes/doc; the 4-band pigeonhole guarantees
   NO false negatives for Hamming distance <= 3. Collision buckets are
   bounded by vocabulary similarity; verify step is exact Hamming.
-- embedding: the pairwise form is O(n^2)/cross-join — correct as the
-  *verify* kernel; at scale generate candidates first with
-  similarity.ivf_assign buckets and run this within buckets.
+- embedding: candidates come from IVF cells (similarity.assign_cells —
+  map-side argmax over broadcast centroids), the exact cosine kernel runs
+  within cells only. ``n_cells=None`` selects the brute-force O(n^2) kernel
+  — the verify/test path, never the registered default.
+- every family funnels its raw text through plans.partitioning.
+  ensure_parallelism first: a single-row-group table would otherwise run
+  the expensive shingle/hash expressions on one core (no-op at scale).
 """
 
 from __future__ import annotations
@@ -38,6 +48,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
+from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import ensure_parallelism, materialize
 
 
 def exact_duplicates(
@@ -58,15 +69,35 @@ def exact_duplicates(
 
 
 def _shingle_sets(
-    docs: DataFrame, text_col: str, id_col: str, n: int
+    docs: DataFrame, text_col: str, id_col: str, n: int, do_materialize: bool = True
 ) -> DataFrame:
-    """(id, sh: array<string>, sz: int) for docs with >= 1 shingle."""
-    sh = X.word_shingles(X.tokens(F.col(text_col)), n)
-    return (
-        docs.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    """(id, sh: array<bigint>, sz: int) for docs with >= 1 shingle.
+
+    Shingles are 60-bit hashes (functions.text.hashed_word_shingles): the
+    gram strings never leave the map expression, so everything downstream
+    (cache, explode, joins, groupBys) moves fixed 8-byte keys.
+
+    Projects to (id, text) before the parallelism guard so the one-time
+    repartition (if any) moves only those two columns.
+
+    ``do_materialize`` persists AND eagerly populates the result: every dedup
+    operator built on shingle sets consumes them from MULTIPLE plan
+    branches (hot-shingle cap, both self-join sides, the verify join), and
+    Spark re-executes the whole tokenize/shingle subtree per branch —
+    filter pushdown even duplicates it *within* a branch. Measured at
+    sf0.1 this recompute is the entire cost of the operator (5-6x the
+    one-pass compute). Persisting the (tiny relative to the corpus)
+    shingle relation is the standard multi-consumer pattern; at 100 TB it
+    spills to local disk like any shuffle would.
+    """
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    sh = X.hashed_word_shingles(X.tokens(F.col(text_col)), n)
+    out = (
+        narrow.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .withColumn("sz", F.size("sh"))
         .where(F.col("sz") > 0)
     )
+    return materialize(out) if do_materialize else out
 
 
 def _pair_jaccard(co: Column, sa: Column, sb: Column) -> Column:
@@ -77,30 +108,45 @@ def _pair_jaccard(co: Column, sa: Column, sb: Column) -> Column:
     )
 
 
+def hot_shingles(inv: DataFrame, max_shingle_df: int) -> DataFrame:
+    """(shingle, df) for shingles above the document-frequency cap.
+
+    Tiny by construction at any scale (only the pathological head of the
+    df distribution); broadcast-anti-joined against the inverted index.
+    Expose it to callers for observability — the dropped-shingle count is
+    ``hot_shingles(...).count()``.
+    """
+    return (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+    )
+
+
 def jaccard_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs via shingle inverted index.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold
-    (ROUND6'd). Plan: explode shingle sets -> self-equi-join on shingle
-    (shuffle hash join on the shingle key) -> groupBy pair counting
-    co-occurring shingles -> filter on the Jaccard formula
-    |A∩B| / (|A| + |B| - |A∩B|). Set semantics (shingles deduped per doc).
+    (ROUND6'd). Plan: explode shingle sets -> drop hot-shingle postings
+    (broadcast anti-join, see module docstring) -> self-equi-join on shingle
+    -> groupBy pair counting co-occurring shingles -> filter on the Jaccard
+    formula |A∩B| / (|A| + |B| - |A∩B|). Set semantics (shingles deduped
+    per doc). Denominators use the original set sizes even when postings
+    were capped.
     """
     inv = _shingle_sets(docs, text_col, id_col, n).select(
         "id", "sz", F.explode("sh").alias("shingle")
     )
     if max_shingle_df is not None:
-        df_w = Window.partitionBy("shingle")
-        inv = inv.withColumn("_df", F.count(F.lit(1)).over(df_w)).where(
-            F.col("_df") <= max_shingle_df
-        ).drop("_df")
+        hot = hot_shingles(inv, max_shingle_df).select("shingle")
+        inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     co = F.count(F.lit(1)).alias("co")
     pairs = (
@@ -136,12 +182,21 @@ def minhash_lsh_near_duplicates(
     (P[candidate] = 1 - (1 - j^r)^b); each candidate is then verified
     against the exact shingle-set Jaccard and kept when >= threshold.
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b. A deterministic
-    LSH: hashes are seeded md5, so the candidate set (and thus the result)
-    is engine-reproducible, not a sampling artifact.
+    LSH: the hash family is a fixed affine family over one md5-derived
+    32-bit hash per shingle (functions/text.py MINHASH_A/B), so the
+    candidate set (and thus the result) is engine-reproducible, not a
+    sampling artifact.
     """
     assert n_hashes == n_bands * rows_per_band
-    base = _shingle_sets(docs, text_col, id_col, n)
-    sig = base.withColumn("sig", X.minhash_signature(F.col("sh"), n_hashes))
+    # one persisted frame carries shingle sets AND signatures: the band join
+    # reads it twice, the verify join twice more — all from cache.
+    base = _shingle_sets(docs, text_col, id_col, n, do_materialize=False)
+    # 32-bit per-shingle hash for the affine MinHash family = the low 32
+    # bits of the 60-bit shingle hash (independent md5 bits) — no extra md5.
+    hs32 = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(X.M32).cast("bigint")))
+    sig = materialize(
+        base.withColumn("sig", X.minhash_from_hashes(hs32, n_hashes))
+    )
     keyed = sig.select(
         "id", F.explode(X.band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     )
@@ -151,7 +206,7 @@ def minhash_lsh_near_duplicates(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    sets = base.select("id", "sh", "sz")
+    sets = sig.select("id", "sh", "sz")
     verified = (
         cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
         .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
@@ -171,8 +226,10 @@ def minhash_lsh_near_duplicates(
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) 32-bit fingerprints of the token multiset."""
-    t = docs.withColumn("_th", X.token_hashes32(X.tokens(F.col(text_col))))
+    """(id, simhash) 32-bit fingerprints of the token multiset (lazy;
+    join-based consumers materialize it themselves)."""
+    narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    t = narrow.withColumn("_th", X.token_hashes32(X.tokens(F.col(text_col))))
     return t.select(
         F.col(id_col).alias("id"),
         X.simhash32_from_hashes(F.col("_th")).alias("simhash"),
@@ -194,7 +251,7 @@ def simhash_near_duplicates(
     for the completeness guarantee; use more/wider bands for looser radii.
     """
     assert max_hamming < 4, "4-band pigeonhole only covers hamming <= 3"
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    fp = materialize(simhash_fingerprints(docs, text_col, id_col))
     banded = fp.select(
         "id",
         "simhash",
@@ -250,28 +307,55 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return out.where(F.col("_norm") > 0)
 
 
+def _pair_cosine(va: Column, na: Column, vb: Column, nb: Column) -> Column:
+    return X.round6(dot(va, vb) / (na * nb))
+
+
 def embedding_near_duplicates(
     embs: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
+    n_cells: int | None = 16,
 ) -> DataFrame:
     """Cosine near-dup pairs: (vec_a, vec_b, cosine >= threshold), a < b.
 
-    Brute-force pairwise cosine — the exact verify kernel. At scale,
-    pre-bucket with similarity.ivf_assign (or LSH) and apply this within
-    buckets; the formula and determinism contract stay identical.
+    Default path (``n_cells`` set): IVF-bucketed candidates — every vector
+    is assigned to its nearest centroid map-side (similarity.assign_cells,
+    broadcast literal centroids, no shuffle), then the exact cosine kernel
+    runs as a self-equi-join WITHIN cells only. Pairs whose members land in
+    different cells are not reported — the standard IVF recall tradeoff,
+    deterministic here (centroids are the ``n_cells`` smallest-id vectors,
+    mirrored exactly by the oracle). Scale ``n_cells`` with the corpus so
+    cells stay O(sqrt(N)); residual cell skew is AQE's skew-join case.
+
+    ``n_cells=None``: brute-force all-pairs kernel (BroadcastNestedLoopJoin,
+    O(n^2)) — the verify/test kernel only, never the registered default.
     """
-    e = with_norm(embs, vec_col).select(
-        F.col(id_col).alias("id"), "_v", "_norm"
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import (
+        assign_cells,
+        collect_centroids,
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = X.round6(
-        dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))
+
+    e = ensure_parallelism(
+        with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
     )
+    e = materialize(e)  # both self-join sides + the centroid collect share it
+    cos = _pair_cosine(
+        F.col("a._v"), F.col("a._norm"), F.col("b._v"), F.col("b._norm")
+    )
+    if n_cells is None:
+        a, b = e.alias("a"), e.alias("b")
+        joined = a.join(b, F.col("a.id") < F.col("b.id"))
+    else:
+        cents = collect_centroids(e, n_cells)
+        assigned = assign_cells(e, cents)
+        a, b = assigned.alias("a"), assigned.alias("b")
+        joined = a.join(
+            b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id"))
+        )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
+        joined.select(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
             cos.alias("cosine"),

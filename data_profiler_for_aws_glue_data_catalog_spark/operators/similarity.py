@@ -20,12 +20,17 @@ Scale notes (100 TB)
   top-k is contained in the union of partial top-ks), but the heavy first
   stage fans out over ``salt_buckets * |queries|`` reducers instead of
   |queries|.
-- IVF: cell assignment is one broadcast-join + argmin (map-side); the
-  probe search touches ~n_probe/n_cells of the data. Centroids here are
-  deterministic seed vectors (first ``n_cells`` ids) so the oracle can
-  reproduce assignment exactly; swap in k-means centroids at scale — the
-  plan shape (broadcast centroids -> assign -> cell-pruned search) is
-  unchanged.
+- IVF cell assignment is fully MAP-SIDE: the ``n_cells`` centroids are
+  collected to the driver once (one tiny TakeOrdered job — centroids are
+  small by definition; k-means training output would be collected the same
+  way) and embedded as a literal array-of-structs; per row, the argmax
+  cosine is a single array_max over a transform — no crossJoin, no window,
+  NO exchange before assignment. The probe-cell list per query is the same
+  literal array sorted and sliced, also map-side.
+- Centroids here are deterministic seed vectors (the ``n_cells`` smallest
+  ids) so the oracle reproduces assignment exactly; swap in k-means
+  centroids at scale — the plan shape (collect centroids -> literal-array
+  assign -> cell-pruned search) is unchanged.
 """
 
 from __future__ import annotations
@@ -35,10 +40,98 @@ from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
 from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot, with_norm
+from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+    ensure_parallelism,
+    materialize,
+)
 
 
 def _cos(va: Column, na: Column, vb: Column, nb: Column) -> Column:
     return X.round6(dot(va, vb) / (na * nb))
+
+
+def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Normed vector frame, eagerly materialized: every consumer
+    (query-side filter, centroid collect, scoring scan — often launched
+    CONCURRENTLY by AQE) re-executes the cast+norm subtree otherwise.
+    MEMORY_AND_DISK — at 100 TB this spills like a shuffle."""
+    return materialize(
+        ensure_parallelism(
+            with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+        )
+    )
+
+
+def collect_centroids(e: DataFrame, n_cells: int) -> list[tuple[int, list[float], float]]:
+    """[(cell_id, vector, norm)] — the ``n_cells`` smallest-id vectors of a
+    normed frame (columns id, _v, _norm), collected with one TakeOrdered job.
+
+    The collected doubles round-trip exactly through literals, so plans
+    built on them match the oracle bit-for-bit.
+    """
+    rows = e.orderBy("id").limit(n_cells).collect()
+    return [(r["id"], list(r["_v"]), r["_norm"]) for r in rows]
+
+
+def _centroid_array(cents: list[tuple[int, list[float], float]]) -> Column:
+    """Literal array<struct<cell, cv, cn>> of collected centroids."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("bigint").alias("cell"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+                F.lit(n).alias("cn"),
+            )
+            for cid, vec, n in cents
+        ]
+    )
+
+
+def assign_cells(
+    e: DataFrame, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """(id, _v, _norm, cell): nearest-centroid assignment, purely map-side.
+
+    argmax cosine with tie-break on smallest cell id, computed as
+    array_max over struct(cosine, -cell) — struct ordering is
+    lexicographic, so max picks highest cosine, then (via the negation)
+    the LOWEST cell id among ties. No exchange anywhere in this plan.
+    """
+    carr = _centroid_array(cents)
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            _cos(F.col("_v"), F.col("_norm"), c["cv"], c["cn"]).alias("cos"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+    best = F.array_max(scored)
+    return e.withColumn("cell", -best["negcell"])
+
+
+def probe_cells(
+    q: DataFrame, cents: list[tuple[int, list[float], float]], n_probe: int
+) -> DataFrame:
+    """Explode each query row into its ``n_probe`` nearest cells, map-side.
+
+    Sort key struct(-cosine, cell) ascending == cosine DESC, cell ASC —
+    the same deterministic order the oracle's row_number uses.
+    """
+    carr = _centroid_array(cents)
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            (-_cos(F.col("_qv"), F.col("_qn"), c["cv"], c["cn"])).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, n_probe)
+    return q.select(
+        "query_id",
+        "_qv",
+        "_qn",
+        F.explode(F.transform(probes, lambda p: p["cell"])).alias("cell"),
+    )
 
 
 def _ranked_topk(scored: DataFrame, k: int, salt_buckets: int = 32) -> DataFrame:
@@ -69,7 +162,7 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank 1..k).
     """
-    e = with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    e = _normed(embs, vec_col, id_col)
     q = e.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("_v").alias("_qv"),
@@ -98,26 +191,13 @@ def ivf_assign(
     """(id, _v, _norm, cell): assign every vector to its nearest centroid.
 
     Centroids are the vectors with the ``n_cells`` smallest ids —
-    deterministic seeding (k-means at scale; same plan shape). Assignment
-    = argmax cosine with tie-break on centroid id, via a broadcast join +
-    row_number, all map-side under AQE broadcast.
+    deterministic seeding (k-means at scale; same plan shape). One tiny
+    collect for the centroids, then a purely map-side argmax — the plan has
+    no exchange before assignment (contrast: a crossJoin+window formulation
+    shuffles n_cells x the data by id).
     """
-    e = with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
-    cents = e.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell"),
-        F.col("_v").alias("_cv"),
-        F.col("_norm").alias("_cn"),
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("_ccos"), F.asc("cell"))
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_ccos", _cos(F.col("_v"), F.col("_norm"), F.col("_cv"), F.col("_cn"))
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("id", "_v", "_norm", "cell")
-    )
+    e = _normed(embs, vec_col, id_col)
+    return assign_cells(e, collect_centroids(e, n_cells))
 
 
 def ivf_topk(
@@ -132,32 +212,21 @@ def ivf_topk(
     """IVF approximate top-k: search only the ``n_probe`` cells whose
     centroids are nearest each query. Output shape = cosine_topk's.
 
+    One normed frame feeds assignment, queries and scoring; centroids are
+    collected once and reused for both cell assignment and probe selection.
     The data-side scan touches ~n_probe/n_cells of the vectors (cell
-    pruning via the probe-list semi-join); recall depends on quantizer
+    pruning via the broadcast probe join); recall depends on quantizer
     quality, which is the standard IVF tradeoff.
     """
-    assigned = ivf_assign(embs, n_cells, vec_col, id_col)
-    e = with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
-    cents = e.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell"),
-        F.col("_v").alias("_cv"),
-        F.col("_norm").alias("_cn"),
-    )
+    e = _normed(embs, vec_col, id_col)
+    cents = collect_centroids(e, n_cells)
+    assigned = assign_cells(e, cents)
     q = e.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("_pcos"), F.asc("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_pcos", _cos(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn"))
-        )
-        .withColumn("_pr", F.row_number().over(pw))
-        .where(F.col("_pr") <= n_probe)
-        .select("query_id", "cell", "_qv", "_qn")
-    )
+    probes = probe_cells(q, cents, n_probe)
     scored = (
         assigned.join(F.broadcast(probes), on="cell")
         .where(F.col("id") != F.col("query_id"))

@@ -12,6 +12,11 @@ nested SQL) and return the text of the derived expression.
 
 from __future__ import annotations
 
+from data_profiler_for_aws_glue_data_catalog_spark.functions.text import (
+    M32,
+    MINHASH_A,
+    MINHASH_B,
+)
 from data_profiler_for_aws_glue_data_catalog_spark.operators.text_analysis import (
     LANGS,
     STOPWORDS,
@@ -55,6 +60,30 @@ def hex32_to_long_sql(h: str) -> str:
         for i in range(8)
     )
     return f"({terms})"
+
+
+def hex60_to_long_sql(h: str) -> str:
+    """First 15 hex digits as bigint — mirrors functions.text.hex60_to_long
+    (conv-based in Spark; positional nibble sum here, same VALUE)."""
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def hashed_shingles_sql(toks: str, n: int) -> str:
+    """Distinct 60-bit hashed word n-gram shingles — mirrors
+    functions.text.hashed_word_shingles."""
+    gram = f"array_to_string(({toks})[i:i + {n - 1}], ' ')"
+    grams = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> {hex60_to_long_sql(f'md5({gram})')})"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN {grams} "
+        f"ELSE CAST([] AS BIGINT[]) END)"
+    )
 
 
 def token_hashes32_sql(toks: str) -> str:
@@ -167,7 +196,7 @@ FROM h
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (
-  SELECT {id_col} AS id, {shingles_sql(toks_sql(text_col), n)} AS sh FROM {table}
+  SELECT {id_col} AS id, {hashed_shingles_sql(toks_sql(text_col), n)} AS sh FROM {table}
 ) WHERE len(sh) > 0
 """
 
@@ -184,10 +213,22 @@ def jaccard_near_duplicates_sql(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> str:
+    cap = ""
+    if max_shingle_df is not None:
+        cap = (
+            f"hot AS (SELECT shingle FROM inv0 GROUP BY shingle "
+            f"HAVING count(*) > {max_shingle_df}),\n"
+            f"inv AS (SELECT * FROM inv0 WHERE shingle NOT IN "
+            f"(SELECT shingle FROM hot)),"
+        )
+    else:
+        cap = "inv AS (SELECT * FROM inv0),"
     return f"""
 WITH s AS ({_shingle_sets_sql(table, text_col, id_col, n)}),
-inv AS (SELECT id, sz, unnest(sh) AS shingle FROM s),
+inv0 AS (SELECT id, sz, unnest(sh) AS shingle FROM s),
+{cap}
 pairs AS (
   SELECT a.id AS doc_a, b.id AS doc_b, a.sz AS sa, b.sz AS sb, count(*) AS co
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
@@ -209,20 +250,24 @@ def minhash_lsh_near_duplicates_sql(
     rows_per_band: int = 2,
     threshold: float = 0.5,
 ) -> str:
+    # 32-bit shingle hash = low 32 bits of the 60-bit hashed shingle
     sig_items = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> {seeded_hash_sql('s', i)}), 'min')"
+        f"list_aggregate(list_transform(hs, h -> "
+        f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {M32}), 'min')"
         for i in range(n_hashes)
     )
     band_items = ", ".join(
         "'b{b}:' || ".format(b=b)
-        + " || ".join(
-            f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        + " || ':' || ".join(
+            f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
         )
         for b in range(n_bands)
     )
     return f"""
 WITH s AS ({_shingle_sets_sql(table, text_col, id_col, n)}),
-sig AS (SELECT id, sh, sz, [{sig_items}] AS sig FROM s),
+hashed AS (SELECT id, sh, sz, list_transform(sh, h -> h % {M32}) AS hs FROM s),
+sig AS (SELECT id, sh, sz, [{sig_items}] AS sig FROM hashed),
 bands AS (SELECT id, unnest([{band_items}]) AS bk FROM sig),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
@@ -277,18 +322,43 @@ SELECT id, v, nrm FROM (
 """
 
 
+def _assigned_cells_sql(n_cells: int) -> str:
+    """cents + assigned CTE bodies over a normed CTE named ``n`` — nearest
+    centroid by (cosine DESC, cell ASC), mirroring similarity.assign_cells."""
+    acos = round6_sql(f"({dot_sql('n.v', 'c.cv')}) / (n.nrm * c.cn)")
+    return f"""
+cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
+assigned AS (
+  SELECT id, v, nrm, cell FROM (
+    SELECT n.id, n.v, n.nrm, c.cell,
+      row_number() OVER (PARTITION BY n.id ORDER BY {acos} DESC, c.cell ASC) AS rn
+    FROM n CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+
 def embedding_near_duplicates_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
+    n_cells: int | None = 16,
 ) -> str:
     cos = round6_sql(f"({dot_sql('a.v', 'b.v')}) / (a.nrm * b.nrm)")
-    return f"""
-WITH e AS ({_normed_vectors_sql(table, vec_col, id_col)})
+    if n_cells is None:
+        return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)})
 SELECT vec_a, vec_b, cosine FROM (
   SELECT a.id AS vec_a, b.id AS vec_b, {cos} AS cosine
-  FROM e a JOIN e b ON a.id < b.id
+  FROM n a JOIN n b ON a.id < b.id
+) WHERE cosine >= {threshold}
+"""
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+{_assigned_cells_sql(n_cells)}
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.id AS vec_a, b.id AS vec_b, {cos} AS cosine
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
 ) WHERE cosine >= {threshold}
 """
 
