@@ -49,11 +49,6 @@ class ProfilerConfig:
         scan pass is batched to at most this many columns per job (each
         batch is still one full-scan agg; at 100 TB, prefer fewer, wider
         batches as long as codegen holds).
-    freq_concurrency:
-        Expensive-column frequency jobs are submitted concurrently from a
-        Python thread pool so the Spark scheduler can interleave their
-        stages (the reference runs them strictly sequentially inside
-        Deequ's AnalysisRunner).
     histogram_null_label:
         Label under which nulls are binned in Histogram metrics; Deequ
         1.0.2 uses the literal string ``NullValue``.
@@ -68,7 +63,6 @@ class ProfilerConfig:
     approx_distinct_rsd: float = 0.05
     quantile_accuracy: int = 100
     max_fused_columns_per_pass: int = 64
-    freq_concurrency: int = 8
     histogram_null_label: str = "NullValue"
 
     @property

@@ -8,13 +8,16 @@ the same groupBy plan, so the second job reuses the first's shuffle map
 output (visible as ReusedExchange / skipped stages).
 
 Metrics (SURVEY.md §2.A, text columns, gated on compute_expensive):
-  #4  Distinctness        distinct non-null / non-null rows
   #7  CountDistinct       exact distinct (non-null)
   #8  Entropy             Shannon entropy, natural log, non-null distribution
   #10 UniqueValueRatio    #singleton values / #distinct values
   #11 Uniqueness          #singleton values / non-null rows
   #9  Histogram           top-n_bins values by frequency ->
                           Histogram.bins / Histogram.abs.<v> / Histogram.ratio.<v>
+
+(#4 Distinctness moved to the scan passes — it is emitted for EVERY
+profiled column in every mode, reference parity, via the exact
+count-distinct batch in scan_metrics.py.)
 
 Null handling: the frequency table groups the RAW column, so nulls form
 their own group — no sentinel-string collision. Non-null metrics filter the
@@ -62,8 +65,8 @@ def frequency_table(df: DataFrame, column: str) -> DataFrame:
 def frequency_scalar_metrics(
     freq: DataFrame, column: str, col_type: str
 ) -> DataFrame:
-    """Distinctness/CountDistinct/Entropy/UniqueValueRatio/Uniqueness from a
-    frequency table, in one tiny aggregate."""
+    """CountDistinct/Entropy/UniqueValueRatio/Uniqueness from a frequency
+    table, in one tiny aggregate."""
     nn = F.col("value").isNotNull()
     cnt = F.col("cnt")
     row = freq.agg(
@@ -76,7 +79,6 @@ def frequency_scalar_metrics(
     entropy = F.when(n > 0, F.log(n) - F.try_divide(clnc, n))
     structs = F.array(
         metric_struct("Column", column, "CountDistinct", d, col_type),
-        metric_struct("Column", column, "Distinctness", F.try_divide(d, n), col_type),
         metric_struct("Column", column, "Entropy", entropy, col_type),
         metric_struct(
             "Column", column, "UniqueValueRatio", F.try_divide(u, d), col_type

@@ -65,6 +65,16 @@ from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import (
 SUM_DECIMAL = "decimal(27,6)"  # sum fits decimal(37,6): ~1e31 headroom
 SQ_DECIMAL = "decimal(18,6)"  # squares -> decimal(37,12), sum decimal(38,12)
 
+# Value-domain guards for the exact-decimal paths. Inputs are try_cast so a
+# value outside the decimal domain yields NULL instead of an ANSI error; the
+# guard predicate (computed from max(abs(c)) IN THE SAME PASS) switches the
+# finished metric to a plain-double fallback whenever any value is out of
+# range. Inside the domain the decimal branch is bit-reproducible at any
+# partitioning; outside it the fallback is standard IEEE aggregation
+# (correct, but last-ulp partition-order dependent) — documented tradeoff.
+SUM_GUARD = 1e21  # decimal(27,6) integral headroom
+SQ_GUARD = 1e12  # decimal(18,6) integral headroom (squares)
+
 
 @dataclass
 class _Batch:
@@ -84,14 +94,26 @@ class _Batch:
         self.builders.append(lambda a=a: make_structs(a))
 
 
+def _in_domain(c: str, limit: float) -> Column:
+    # NULL max (all-null column) -> NULL predicate -> fallback branch,
+    # which also returns NULL there. Coalesce keeps intent explicit.
+    return F.coalesce(F.max(F.abs(F.col(c))) < F.lit(limit), F.lit(False))
+
+
 def _deterministic_sum(c: str) -> Column:
-    return F.sum(F.col(c).cast(SUM_DECIMAL)).cast("double")
+    dec = F.sum(F.col(c).try_cast(SUM_DECIMAL)).cast("double")
+    return F.when(_in_domain(c, SUM_GUARD), dec).otherwise(
+        F.sum(F.col(c).cast("double"))
+    )
 
 
 def _mean_expr(c: str) -> Column:
     # try_divide: NULL (not an ANSI error) when the column is all-null/empty
-    return F.try_divide(
-        F.sum(F.col(c).cast(SUM_DECIMAL)).cast("double"), F.count(F.col(c))
+    dec = F.try_divide(
+        F.sum(F.col(c).try_cast(SUM_DECIMAL)).cast("double"), F.count(F.col(c))
+    )
+    return F.when(_in_domain(c, SUM_GUARD), dec).otherwise(
+        F.avg(F.col(c).cast("double"))
     )
 
 
@@ -101,17 +123,21 @@ def _stddev_pop_expr(c: str) -> Column:
     var = (sum(x^2) - sum(x)^2 / n) / n over the 6-dp-rounded values; both
     moments are exact decimals, the finishing arithmetic is a handful of
     IEEE ops -> deterministic. Deequ parity: POPULATION variance
-    (NOT Spark's sample-stddev default).
+    (NOT Spark's sample-stddev default). Values beyond the decimal domain
+    (|x| >= 1e12) switch to the IEEE stddev_pop fallback — see SQ_GUARD.
     """
-    xd = F.col(c).cast(SQ_DECIMAL)
-    # sx is the SAME expression tree as _deterministic_sum's, so Catalyst
-    # dedups the two into one aggregate buffer (same value: both round the
-    # input to 6 dp before the exact sum).
-    sx = F.sum(F.col(c).cast(SUM_DECIMAL)).cast("double")
+    xd = F.col(c).try_cast(SQ_DECIMAL)
+    # sx is the SAME expression tree as _deterministic_sum's decimal branch,
+    # so Catalyst dedups the two into one aggregate buffer (same value: both
+    # round the input to 6 dp before the exact sum).
+    sx = F.sum(F.col(c).try_cast(SUM_DECIMAL)).cast("double")
     sx2 = F.sum(xd * xd).cast("double")
     n = F.count(F.col(c)).cast("double")
     var = F.try_divide(sx2 - F.try_divide(sx * sx, n), n)
-    return F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+    dec = F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+    return F.when(_in_domain(c, SQ_GUARD), dec).otherwise(
+        F.stddev_pop(F.col(c).cast("double"))
+    )
 
 
 def quantile_points(n_quantiles: int) -> list[float]:
@@ -151,8 +177,17 @@ def scan_metrics_long(
     # one in a pass forces the WHOLE pass onto ObjectHashAggregateExec,
     # kicking every cheap codegen'd sum/min/max out of whole-stage codegen.
     # They get their own scan pass instead — two fast scans beat one slow one.
+    # Exact count-distincts (for Distinctness — reference parity: emitted for
+    # EVERY profiled column in every mode, addTextAnalyzers/addNumericAnalyzers
+    # in Main.scala:314-348) also get their own pass: Spark plans multi-column
+    # distinct aggregation with an Expand (one duplicated row per distinct
+    # column), and mixing that into the cheap pass would multiply ITS input
+    # too. One Expand pass for C columns still beats the reference's C
+    # separate frequency jobs: one scan, one shuffle of per-partition
+    # distinct values.
     batches: list[_Batch] = [_Batch()]
     sketch_batches: list[_Batch] = [_Batch()]
+    distinct_batches: list[_Batch] = [_Batch()]
     if include_size:
         batches[0].add(
             F.count(F.lit(1)),
@@ -164,8 +199,10 @@ def scan_metrics_long(
         if i and i % per_batch == 0:
             batches.append(_Batch())
             sketch_batches.append(_Batch())
+            distinct_batches.append(_Batch())
         b = batches[-1]
         sb = sketch_batches[-1]
+        db = distinct_batches[-1]
         col = F.col(c)
 
         def m(name: str, col_name=c, col_type=typ):
@@ -175,6 +212,13 @@ def scan_metrics_long(
             return make
 
         b.add(F.try_divide(F.count(col), F.count(F.lit(1))), m("Completeness"))
+        # Distinctness = exact distinct non-null / non-null rows (Deequ's
+        # frequency-table d/n), emitted for every profiled column in every
+        # mode — reference parity (Main.scala:318,342).
+        db.add(
+            F.try_divide(F.count_distinct(col).cast("double"), F.count(col)),
+            m("Distinctness"),
+        )
         if include_approx:
             sb.add(
                 F.approx_count_distinct(col, rsd=config.approx_distinct_rsd),
@@ -204,7 +248,7 @@ def scan_metrics_long(
         else:  # text (and convertibles already cast to string)
             b.add(F.max(F.length(col)), m("MaxLength"))
             b.add(F.min(F.length(col)), m("MinLength"))
-    batches += sketch_batches
+    batches += sketch_batches + distinct_batches
 
     parts: list[DataFrame] = []
     for b in batches:

@@ -107,21 +107,50 @@ def size_sql(table: str) -> str:
     return _row("Dataset", "*", "Size", "CAST(COUNT(*) AS DOUBLE)", None) + f" FROM {table}"
 
 
-def _sum_dec(c: str) -> str:
+# Value-domain guards — keep in sync with scan_metrics.SUM_GUARD/SQ_GUARD.
+# Inside the domain both engines take the bit-identical decimal branch; the
+# fallback branch (plain IEEE aggregation) only exists for out-of-range data
+# that the fixed testdata never contains.
+_SUM_GUARD = "1e21"
+_SQ_GUARD = "1e12"
+
+
+def _sum_dec_raw(c: str) -> str:
     return f"CAST(SUM(CAST({c} AS {_SUM_DEC})) AS DOUBLE)"
+
+
+def _guarded(c: str, limit: str, dec_branch: str, fallback: str) -> str:
+    return (
+        f"CASE WHEN COALESCE(MAX(ABS({c})) < {limit}, FALSE) "
+        f"THEN {dec_branch} ELSE {fallback} END"
+    )
+
+
+def _sum_dec(c: str) -> str:
+    return _guarded(c, _SUM_GUARD, _sum_dec_raw(c), f"SUM(CAST({c} AS DOUBLE))")
+
+
+def _mean_sql(c: str) -> str:
+    return _guarded(
+        c,
+        _SUM_GUARD,
+        f"{_sum_dec_raw(c)} / NULLIF(COUNT({c}), 0)",
+        f"AVG(CAST({c} AS DOUBLE))",
+    )
 
 
 def _stddev_sql(c: str) -> str:
     xd = f"CAST({c} AS {_SQ_DEC})"
     sx2 = f"CAST(SUM({xd} * {xd}) AS DOUBLE)"
-    sx = _sum_dec(c)
+    sx = _sum_dec_raw(c)
     n = f"CAST(COUNT({c}) AS DOUBLE)"
     # ROUND(_, 6): decimal->double of the scale-12 moment is double-rounded
     # in DuckDB vs single-rounded in the JVM; 6-dp comparison absorbs the ulp
-    return (
-        f"ROUND(CASE WHEN COUNT({c}) > 0 THEN "
-        f"SQRT(GREATEST(({sx2} - ({sx} * {sx}) / {n}) / {n}, 0.0)) END, 6)"
+    dec = (
+        f"CASE WHEN COUNT({c}) > 0 THEN "
+        f"SQRT(GREATEST(({sx2} - ({sx} * {sx}) / {n}) / {n}, 0.0)) END"
     )
+    return f"ROUND({_guarded(c, _SQ_GUARD, dec, f'STDDEV_POP(CAST({c} AS DOUBLE))')}, 6)"
 
 
 def scan_metric_rows(table: str, c: str, kind: str, typ: str) -> list[str]:
@@ -132,16 +161,22 @@ def scan_metric_rows(table: str, c: str, kind: str, typ: str) -> list[str]:
             "Completeness",
             f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)",
             typ,
-        )
+        ),
+        # every profiled column in every mode — reference parity
+        _row(
+            "Column",
+            c,
+            "Distinctness",
+            f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) / NULLIF(COUNT({c}), 0)",
+            typ,
+        ),
     ]
     if kind == NUM:
         rows += [
             _row("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ),
             _row("Column", c, "Minimum", f"CAST(MIN({c}) AS DOUBLE)", typ),
             _row("Column", c, "Sum", _sum_dec(c), typ),
-            _row(
-                "Column", c, "Mean", f"{_sum_dec(c)} / COUNT({c})", typ
-            ),
+            _row("Column", c, "Mean", _mean_sql(c), typ),
             _row("Column", c, "StandardDeviation", _stddev_sql(c), typ),
         ]
     else:
@@ -153,8 +188,9 @@ def scan_metric_rows(table: str, c: str, kind: str, typ: str) -> list[str]:
 
 
 def freq_metrics_sql(table: str, c: str, typ: str) -> str:
-    """The five frequency scalars from one shared freq CTE (Entropy via
-    H = ln(N) - sum(cnt ln cnt)/N, rounded to 6 dp — the one libm metric)."""
+    """The four frequency scalars from one shared freq CTE (Entropy via
+    H = ln(N) - sum(cnt ln cnt)/N, rounded to 6 dp — the one libm metric).
+    Distinctness is emitted from the scan pass (scan_metric_rows)."""
     return f"""
 WITH freq AS (SELECT {c} AS v, COUNT(*) AS cnt FROM {table} GROUP BY {c}),
 s AS (
@@ -166,7 +202,6 @@ s AS (
   FROM freq)
 SELECT * FROM (
   {_row("Column", c, "CountDistinct", "d", typ)} FROM s
-  UNION ALL {_row("Column", c, "Distinctness", "d / n", typ)} FROM s
   UNION ALL {_row("Column", c, "Entropy",
                   "ROUND(CASE WHEN n > 0 THEN LN(n) - clnc / n END, 6)", typ)} FROM s
   UNION ALL {_row("Column", c, "UniqueValueRatio", "u / d", typ)} FROM s

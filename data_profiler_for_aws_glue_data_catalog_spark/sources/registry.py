@@ -36,12 +36,20 @@ TPCH_TABLES = (
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), from footer metadata only."""
+    """Columns stored as parquet TIMESTAMP(NANOS), from footer metadata only.
+
+    For a directory, the union over EVERY file's footer is taken — files
+    with heterogeneous schemas (e.g. a column upgraded micros->nanos
+    mid-table) would otherwise be mis-detected from a single sample.
+    Driver-side metadata reads only; at 100 TB prefer a catalog-declared
+    schema over footer sniffing.
+    """
     if os.path.isdir(path):
-        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if not files:
-            return []
-        path = os.path.join(path, files[0])
+        cols: set[str] = set()
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                cols.update(_nanos_timestamp_columns(os.path.join(path, f)))
+        return sorted(cols)
     schema = pq.read_schema(path)
     return [
         f.name
@@ -59,6 +67,13 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     column projection (micros = nanos div 1000 — same truncation DuckDB
     applies reading the same file). The footer sniff is driver-side
     metadata only; the scan itself stays fully native/vectorized.
+
+    The conf is session-global and deliberately NOT restored after the
+    call: the returned DataFrame is lazy, and its physical scan re-reads
+    the conf at execution time — restoring it would break the very frame
+    we return. It only changes behavior for nanos columns, which this
+    session can't otherwise read at all. (A per-read option does not exist
+    for this legacy knob.)
     """
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:

@@ -25,7 +25,8 @@ def test_known_distribution(spark):
     # a,a,a,b,b,c,NULL -> 6 non-null rows, 3 distinct, 1 singleton
     m = _freq_metrics(spark, ["a", "a", "a", "b", "b", "c", None])
     assert m[("s", "CountDistinct")] == 3.0
-    assert abs(m[("s", "Distinctness")] - 3 / 6) < 1e-15
+    # Distinctness moved to the scan passes (every column, every mode)
+    assert ("s", "Distinctness") not in m
     assert abs(m[("s", "Uniqueness")] - 1 / 6) < 1e-15
     assert abs(m[("s", "UniqueValueRatio")] - 1 / 3) < 1e-15
     expected_h = -(3 / 6 * math.log(3 / 6) + 2 / 6 * math.log(2 / 6) + 1 / 6 * math.log(1 / 6))
@@ -51,7 +52,6 @@ def test_histogram_topk_and_tiebreak(spark):
 def test_all_unique(spark):
     m = _freq_metrics(spark, ["x", "y", "z"])
     assert m[("s", "Uniqueness")] == 1.0
-    assert m[("s", "Distinctness")] == 1.0
     assert m[("s", "UniqueValueRatio")] == 1.0
     assert abs(m[("s", "Entropy")] - math.log(3)) < 1e-12
 

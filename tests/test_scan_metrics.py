@@ -97,6 +97,66 @@ def test_quantiles_present_and_monotone(spark, lineitem):
     assert m[("l_quantity", "ApproxQuantiles-1.0")] == m[("l_quantity", "Maximum")]
 
 
+def test_distinctness_all_columns_default_mode(spark):
+    # reference parity: Distinctness for BOTH numeric and text columns,
+    # WITHOUT compute_expensive (Main.scala:318,342)
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, None), (None, "b")], "x int, s string"
+    )
+    m = metrics_dict(scan_metrics_long(df, ProfilerConfig()).collect())
+    assert m[("x", "Distinctness")] == 2 / 3  # 2 distinct over 3 non-null
+    assert m[("s", "Distinctness")] == 2 / 3
+    all_null = spark.createDataFrame([Row(x=None)], "x double")
+    mn = metrics_dict(scan_metrics_long(all_null).collect())
+    assert mn[("x", "Distinctness")] is None
+
+
+def test_decimal_overflow_guard_large_values(spark):
+    # |x| >= 1e12 overflows the SQ decimal domain; the guard must switch
+    # StandardDeviation to the IEEE fallback instead of failing the ANSI
+    # cast or silently dropping rows (ADVICE r01).
+    vals = [1.0e15, 2.0e15, 3.0e15]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("x", "Sum")] == sum(vals)
+    assert m[("x", "Mean")] == sum(vals) / 3
+    expected_sd = math.sqrt(sum((v - 2.0e15) ** 2 for v in vals) / 3)
+    assert abs(m[("x", "StandardDeviation")] - expected_sd) / expected_sd < 1e-12
+
+
+def test_decimal_overflow_guard_huge_sum(spark):
+    # values above the SUM decimal domain (>= 1e21)
+    vals = [1.0e22, 2.0e22]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("x", "Sum")] == 3.0e22
+    assert m[("x", "Mean")] == 1.5e22
+
+
+def test_approx_count_distinct_tolerance(spark, lineitem):
+    # |ACD - exact| <= 3 * rsd * exact at the default rsd=0.05
+    m = metrics_dict(scan_metrics_long(lineitem).collect())
+    exact = lineitem.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    acd = m[("l_orderkey", "ApproxCountDistinct")]
+    assert abs(acd - exact) <= 3 * 0.05 * exact
+
+
+def test_quantile_sketch_tolerance(spark, lineitem):
+    # percentile_approx with accuracy=100 ~ relative RANK error 1/100:
+    # the reported quantile must sit within +-3*(1/100) of the target rank.
+    import bisect
+
+    m = metrics_dict(scan_metrics_long(lineitem).collect())
+    xs = sorted(r[0] for r in lineitem.select("l_quantity").collect())
+    n = len(xs)
+    for i in range(1, 10):
+        p = i / 10
+        v = m[("l_quantity", f"ApproxQuantiles-{p!r}")]
+        lo = bisect.bisect_left(xs, v) / n
+        hi = bisect.bisect_right(xs, v) / n
+        assert lo - 0.03 <= p <= hi + 0.03, (p, v, lo, hi)
+
+
 def test_wide_table_batching(spark):
     # 150 numeric columns with batch size 64 -> 3 fused jobs, same results
     data = [(float(i),) * 150 for i in range(10)]
