@@ -118,6 +118,67 @@ def _metrics_typed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present(joined)
 
 
+# ------------------------------------------------------------------ sinks
+
+SINK_TABLES = ("region", "nation", "supplier", "customer")
+SINK_RUN_TS = __import__("datetime").datetime(2026, 1, 2, 13, 45, 6)
+
+
+def _publish_metrics_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet metrics sink round trip (Main.scala:231-252): profile ->
+    append partitioned parquet -> read back the enriched relation."""
+    import tempfile
+
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks import read_metrics_parquet, write_metrics_parquet
+
+    out = tempfile.mkdtemp(prefix="dq_metrics_sink_")
+    tables = load_tables(spark, sf_dir, SINK_TABLES)
+    m = profile_database(tables, ProfilerConfig(), include_approx=False)
+    write_metrics_parquet(m, out, db_name="tpch", run_ts=SINK_RUN_TS)
+    back = read_metrics_parquet(spark, out)
+    return _present(back).select(
+        "entity",
+        "instance",
+        "name",
+        "value",
+        "type",
+        "db_name",
+        "table_name",
+        "db_name_embed",
+        "table_name_embed",
+        F.date_format("profiler_run_dt", "yyyy-MM-dd").alias("run_dt"),
+        F.date_format("profiler_run_ts", "yyyy-MM-dd HH:mm:ss").alias("run_ts"),
+    )
+
+
+def _catalog_params_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog parameter sink (Glue.java:44-151): publish profiles into the
+    local metadata store with the delete-then-upsert ``<prefix>__<Metric>``
+    contract, then surface the stored parameters as a relation. Values are
+    parsed back from their stored string form (repr round-trips exactly)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks import LocalMetadataCatalog, publish_profile
+
+    cat = LocalMetadataCatalog()
+    cfg = ProfilerConfig()
+    for name, df in load_tables(spark, sf_dir, SINK_TABLES).items():
+        cat.register_table("tpch", name, [f.name for f in df.schema.fields])
+        m = _present(profile_table(df, cfg, include_approx=False))
+        publish_profile(cat, m, "tpch", name)
+    rows = []
+    for name in cat.list_tables("tpch"):
+        e = cat.table("tpch", name)
+        for k, v in sorted(e.parameters.items()):
+            rows.append((name, "table", "*", k, float(v)))
+        for col, params in sorted(e.column_parameters.items()):
+            for k, v in sorted(params.items()):
+                rows.append((name, "column", col, k, float(v)))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, scope string, instance string, "
+        "param_key string, param_value double",
+    )
+
+
 # ------------------------------------------------------------- relational
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["metrics_typed_join"] = _metrics_typed_join
     q["q1_pricing_summary"] = _q1_pricing_summary
     q["revenue_by_nation"] = _revenue_by_nation
+    q["publish_metrics_parquet"] = _publish_metrics_parquet
+    q["catalog_params_sink"] = _catalog_params_sink
     q.update(_extension_queries())
     return q
 
@@ -287,5 +350,9 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+    o["publish_metrics_parquet"] = O.publish_parquet_sql(
+        SINK_TABLES, "tpch", "2026-01-02", "2026-01-02 13:45:06"
+    )
+    o["catalog_params_sink"] = O.catalog_params_sql(SINK_TABLES, "DQP__")
     o.update(_extension_oracles())
     return o

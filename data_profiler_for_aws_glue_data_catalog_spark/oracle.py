@@ -253,3 +253,37 @@ def profile_database_sql(expensive: bool = False, n_bins: int = 10) -> str:
         f"SELECT * FROM ({profile_table_sql(t, expensive, n_bins, with_table_name=True)})"
         for t in TABLE_COLUMNS
     )
+
+
+def _tables_union_sql(tables, expensive: bool = False) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM ({profile_table_sql(t, expensive, with_table_name=True)})"
+        for t in tables
+    )
+
+
+def publish_parquet_sql(tables, db: str, run_dt: str, run_ts: str) -> str:
+    """Oracle for the parquet-sink round trip: the profiled metrics plus the
+    constant provenance/partition columns the sink embeds
+    (Main.scala:234-251 with the HH fix)."""
+    return f"""
+SELECT entity, instance, name, value, type,
+  '{db}' AS db_name, table_name,
+  '{db}' AS db_name_embed, table_name AS table_name_embed,
+  '{run_dt}' AS run_dt, '{run_ts}' AS run_ts
+FROM ({_tables_union_sql(tables)})
+"""
+
+
+def catalog_params_sql(tables, prefix: str) -> str:
+    """Oracle for the catalog parameter sink: every metric becomes one
+    parameter row keyed ``<prefix><Metric>`` — Dataset rows at table scope
+    (instance '*'), Column rows at column scope (Glue.java:44-151)."""
+    return f"""
+SELECT table_name,
+  CASE WHEN entity = 'Dataset' THEN 'table' ELSE 'column' END AS scope,
+  instance,
+  '{prefix}' || name AS param_key,
+  value AS param_value
+FROM ({_tables_union_sql(tables)})
+"""

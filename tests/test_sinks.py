@@ -1,0 +1,178 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark import ProfilerConfig, profile_database, profile_table
+from data_profiler_for_aws_glue_data_catalog_spark.sinks import (
+    LocalMetadataCatalog,
+    format_metric_value,
+    metrics_to_params,
+    publish_profile,
+    read_metrics_parquet,
+    write_metrics_parquet,
+)
+
+RUN_TS = datetime(2026, 1, 2, 13, 45, 6)
+
+
+@pytest.fixture(scope="module")
+def region(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+
+
+@pytest.fixture(scope="module")
+def region_metrics(spark, region):
+    return profile_table(region, ProfilerConfig(), include_approx=False)
+
+
+# ---------------------------------------------------------- parquet sink
+
+
+def test_parquet_sink_roundtrip(spark, region_metrics, tmp_path):
+    out = str(tmp_path / "sink")
+    write_metrics_parquet(
+        region_metrics, out, db_name="tpch", table_name="region", run_ts=RUN_TS
+    )
+    back = read_metrics_parquet(spark, out)
+    # read-back contract: metrics cols + 4 embedded cols + 2 partition cols
+    assert set(back.columns) == {
+        "entity", "instance", "name", "value", "type",
+        "db_name_embed", "table_name_embed",
+        "profiler_run_dt", "profiler_run_ts",
+        "db_name", "table_name",
+    }
+    rows = back.collect()
+    assert len(rows) == region_metrics.count()
+    r = rows[0]
+    assert r["db_name"] == "tpch" and r["table_name"] == "region"
+    assert r["db_name_embed"] == "tpch" and r["table_name_embed"] == "region"
+    assert str(r["profiler_run_dt"]) == "2026-01-02"
+    # 24-hour formatting (HH fix over the reference's hh:mm:ss)
+    assert r["profiler_run_ts"] == RUN_TS
+    # metric values survive the round trip bit-exactly
+    orig = {(x["instance"], x["name"]): x["value"] for x in region_metrics.collect()}
+    got = {(x["instance"], x["name"]): x["value"] for x in rows}
+    assert got == orig
+
+
+def test_parquet_sink_append_accumulates(spark, region_metrics, tmp_path):
+    out = str(tmp_path / "sink")
+    n = region_metrics.count()
+    for ts in (RUN_TS, datetime(2026, 1, 3, 1, 2, 3)):
+        write_metrics_parquet(
+            region_metrics, out, db_name="tpch", table_name="region", run_ts=ts
+        )
+    back = read_metrics_parquet(spark, out)
+    assert back.count() == 2 * n
+    # runs separable by profiler_run_ts (the reference's reader contract)
+    assert back.select("profiler_run_ts").distinct().count() == 2
+
+
+def test_parquet_sink_database_layout(spark, tmp_path):
+    tables = {
+        t: spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        for t in ("region", "nation")
+    }
+    m = profile_database(tables, ProfilerConfig(), include_approx=False)
+    out = str(tmp_path / "sink")
+    write_metrics_parquet(m, out, db_name="tpch", run_ts=RUN_TS)
+    import os
+
+    assert sorted(os.listdir(out + "/db_name=tpch")) == [
+        "table_name=nation",
+        "table_name=region",
+    ]
+    back = read_metrics_parquet(spark, out)
+    per_table = dict(
+        back.groupBy("table_name").count().collect()
+    )
+    assert set(per_table) == {"region", "nation"}
+    # one file per table partition (the reference's coalesce(1) layout)
+    for t in ("region", "nation"):
+        files = [
+            f
+            for f in os.listdir(f"{out}/db_name=tpch/table_name={t}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, files
+
+
+# ---------------------------------------------------------- catalog sink
+
+
+def test_metrics_to_params_split(region_metrics):
+    tp, cp = metrics_to_params(region_metrics, ProfilerConfig())
+    assert tp == {"DQP__Size": "5.0"}
+    assert set(cp) == {"r_regionkey", "r_name"}
+    assert cp["r_regionkey"]["DQP__Completeness"] == "1.0"
+    assert cp["r_regionkey"]["DQP__Maximum"] == "4.0"
+    # every key carries the prefix
+    for params in cp.values():
+        assert all(k.startswith("DQP__") for k in params)
+
+
+def test_format_metric_value():
+    assert format_metric_value(5.0) == "5.0"
+    assert format_metric_value(0.25) == "0.25"
+    assert format_metric_value(None) == "NaN"
+    assert format_metric_value(float("nan")) == "NaN"
+
+
+def test_catalog_upsert_contract(region_metrics):
+    cat = LocalMetadataCatalog()
+    cat.register_table("tpch", "region", ["r_regionkey", "r_name"])
+    # plant state a previous profiler run and a user would have left
+    entry = cat.table("tpch", "region")
+    entry.parameters["owner"] = "team-data"
+    entry.parameters["DQP__Size"] = "999.0"
+    entry.column_parameters["r_name"] = {
+        "DQP__StaleMetric": "1.0",  # must be deleted (prefix match)
+        "comment": "user note",     # must survive (no prefix)
+    }
+    publish_profile(cat, region_metrics, "tpch", "region", ProfilerConfig())
+    # table level: upsert — user key survives, profiler key overwritten
+    assert entry.parameters["owner"] == "team-data"
+    assert entry.parameters["DQP__Size"] == "5.0"
+    # column level: delete-then-upsert — stale profiler key gone, user kept
+    assert "DQP__StaleMetric" not in entry.column_parameters["r_name"]
+    assert entry.column_parameters["r_name"]["comment"] == "user note"
+    assert entry.column_parameters["r_name"]["DQP__Completeness"] == "1.0"
+
+
+def test_catalog_unknown_column_skipped(region_metrics, caplog):
+    cat = LocalMetadataCatalog()
+    cat.register_table("tpch", "region", ["r_regionkey"])  # others unknown
+    publish_profile(cat, region_metrics, "tpch", "region")
+    entry = cat.table("tpch", "region")
+    assert set(entry.column_parameters) == {"r_regionkey"}
+
+
+def test_catalog_partition_columns_excluded(region_metrics):
+    cat = LocalMetadataCatalog()
+    cat.register_table(
+        "tpch", "region", ["r_regionkey", "r_name"], partition_keys=["r_name"]
+    )
+    publish_profile(cat, region_metrics, "tpch", "region")
+    assert "r_name" not in cat.table("tpch", "region").column_parameters
+
+
+def test_catalog_json_roundtrip(region_metrics, tmp_path):
+    path = str(tmp_path / "catalog.json")
+    cat = LocalMetadataCatalog(path)
+    cat.register_table("tpch", "region", ["r_regionkey", "r_name"])
+    publish_profile(cat, region_metrics, "tpch", "region")
+    cat2 = LocalMetadataCatalog(path)
+    assert cat2.list_tables("tpch") == ["region"]
+    assert (
+        cat2.table("tpch", "region").column_parameters
+        == cat.table("tpch", "region").column_parameters
+    )
+    # second publish over the reloaded catalog replaces, not duplicates
+    publish_profile(cat2, region_metrics, "tpch", "region")
+    assert (
+        cat2.table("tpch", "region").column_parameters
+        == cat.table("tpch", "region").column_parameters
+    )
