@@ -179,6 +179,25 @@ def _catalog_params_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- streaming
+
+def _profile_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windowed profile of the events stream table (batch
+    form of the streaming aggregation; SURVEY §7 Phase 5)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming import windowed_profile
+
+    m = windowed_profile(_t(spark, sf_dir, "events"), "ts", "1 day")
+    return _present(m).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "entity",
+        "instance",
+        "name",
+        "value",
+        "type",
+    )
+
+
 # ------------------------------------------------------------- relational
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["revenue_by_nation"] = _revenue_by_nation
     q["publish_metrics_parquet"] = _publish_metrics_parquet
     q["catalog_params_sink"] = _catalog_params_sink
+    q["profile_events_windowed"] = _profile_events_windowed
     q.update(_extension_queries())
     return q
 
@@ -354,5 +374,6 @@ GROUP BY n_name ORDER BY n_name
         SINK_TABLES, "tpch", "2026-01-02", "2026-01-02 13:45:06"
     )
     o["catalog_params_sink"] = O.catalog_params_sql(SINK_TABLES, "DQP__")
+    o["profile_events_windowed"] = O.windowed_profile_sql("events", "ts")
     o.update(_extension_oracles())
     return o

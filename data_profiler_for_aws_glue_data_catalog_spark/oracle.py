@@ -287,3 +287,47 @@ SELECT table_name,
   value AS param_value
 FROM ({_tables_union_sql(tables)})
 """
+
+
+def windowed_profile_sql(table: str, ts_col: str) -> str:
+    """Oracle for streaming.windowed_profile with 1-day tumbling windows:
+    every branch of the fused grouped agg as a GROUP BY date_trunc('day')
+    (Spark's epoch-aligned day window == DuckDB's day truncation), window
+    bounds formatted as strings."""
+    w = (
+        f"(SELECT *, date_trunc('day', {ts_col}) AS ws FROM {table} "
+        f"WHERE {ts_col} IS NOT NULL)"
+    )
+    branches = [
+        _row("Dataset", "*", "Size", "CAST(COUNT(*) AS DOUBLE)", None)
+        + ", ws FROM w GROUP BY ws"
+    ]
+
+    def add(entity, instance, name, value_sql, typ):
+        branches.append(
+            _row(entity, instance, name, value_sql, typ)
+            + ", ws FROM w GROUP BY ws"
+        )
+
+    for c, kind, typ in TABLE_COLUMNS[table]:
+        add("Column", c, "Completeness",
+            f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)", typ)
+        if kind == NUM:
+            add("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ)
+            add("Column", c, "Minimum", f"CAST(MIN({c}) AS DOUBLE)", typ)
+            add("Column", c, "Sum", _sum_dec(c), typ)
+            add("Column", c, "Mean", _mean_sql(c), typ)
+            add("Column", c, "StandardDeviation", _stddev_sql(c), typ)
+        else:
+            add("Column", c, "MaxLength",
+                f"CAST(MAX(LENGTH({c})) AS DOUBLE)", typ)
+            add("Column", c, "MinLength",
+                f"CAST(MIN(LENGTH({c})) AS DOUBLE)", typ)
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH w AS (SELECT * FROM {w})
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS window_end,
+       entity, instance, name, value, type
+FROM ({body})
+"""

@@ -1,0 +1,162 @@
+"""Windowed (time-bucketed) profiles — batch first, then streaming.
+
+The reference profiles static catalog tables only; this extends the same
+metric surface to event streams (SURVEY.md §7 Phase 5): per tumbling
+window, the scan-shareable metric set of scan_metrics.py — Size;
+Completeness per column; Maximum/Minimum/Sum/Mean/StandardDeviation
+(deterministic decimal paths, same domain guards) on numerics;
+MaxLength/MinLength on text.
+
+Output model = the long metrics relation + window bounds:
+
+    (window_start, window_end, entity, instance, name, value, type)
+
+Scale design
+------------
+- ONE ``groupBy(window(ts, d))`` over one scan; every metric for every
+  column is an aggregate expression in the SAME grouped agg, so the
+  shuffle carries one partial-agg row per (input partition, window) —
+  bytes ~ windows x columns x metrics, independent of row count. This is
+  the windowed analogue of the fused scan pass.
+- No per-window distinct metrics by default: exact count-distinct inside a
+  grouped agg plans an Expand (input duplicated per distinct column),
+  which multiplies THE WHOLE shuffle at stream scale.
+  ``approx_distinct=True`` adds HLL++ ApproxCountDistinct instead — sketch
+  buffers merge associatively, so the map-side combine stays intact
+  (sketch metrics are rows-only in the correctness contract, same as the
+  static profile).
+- The streaming form is the SAME aggregation under ``readStream`` with a
+  watermark; Spark maintains per-window state and emits finalized windows
+  (append mode) once the watermark passes window end. State size ~ open
+  windows x columns, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.config import ProfilerConfig
+from data_profiler_for_aws_glue_data_catalog_spark.operators import types as T
+from data_profiler_for_aws_glue_data_catalog_spark.operators.scan_metrics import (
+    _deterministic_sum,
+    _mean_expr,
+    _stddev_pop_expr,
+)
+from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import metric_struct
+
+WINDOW_COLS = ["window_start", "window_end"]
+
+
+def _windowed_aggs(
+    df: DataFrame,
+    ts_col: str,
+    config: ProfilerConfig,
+    approx_distinct: bool,
+) -> tuple[list[Column], list[Column]]:
+    """(agg expressions, metric structs over their aliases)."""
+    exprs: list[Column] = []
+    structs: list[Column] = []
+    n = 0
+
+    def add(expr: Column, entity: str, instance: str, name: str, typ: str | None):
+        nonlocal n
+        n += 1
+        a = f"m{n}"
+        exprs.append(expr.alias(a))
+        structs.append(metric_struct(entity, instance, name, F.col(a), typ))
+
+    add(F.count(F.lit(1)), "Dataset", "*", "Size", None)
+    for f in df.schema.fields:
+        if f.name == ts_col:
+            continue
+        kind = T.classify(f.dataType, config)
+        if kind is None:
+            continue
+        c, typ = f.name, f.dataType.simpleString()
+        col = F.col(c)
+        add(
+            F.try_divide(F.count(col), F.count(F.lit(1))),
+            "Column", c, "Completeness", typ,
+        )
+        if approx_distinct:
+            add(
+                F.approx_count_distinct(col, rsd=config.approx_distinct_rsd),
+                "Column", c, "ApproxCountDistinct", typ,
+            )
+        if kind == T.NUMERIC:
+            add(F.max(col).cast("double"), "Column", c, "Maximum", typ)
+            add(F.min(col).cast("double"), "Column", c, "Minimum", typ)
+            add(_deterministic_sum(c), "Column", c, "Sum", typ)
+            add(_mean_expr(c), "Column", c, "Mean", typ)
+            add(_stddev_pop_expr(c), "Column", c, "StandardDeviation", typ)
+        elif kind == T.TEXT:
+            add(F.max(F.length(col)), "Column", c, "MaxLength", typ)
+            add(F.min(F.length(col)), "Column", c, "MinLength", typ)
+    return exprs, structs
+
+
+def windowed_profile(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    config: ProfilerConfig | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Tumbling-window profile of a (batch) event table.
+
+    One shuffle: ``groupBy(window(ts_col, d))`` with every metric fused
+    into the grouped agg. Rows with NULL timestamps have no window and are
+    excluded, matching the streaming semantics where unstamped events
+    cannot be assigned to a window.
+    """
+    config = config or ProfilerConfig()
+    exprs, structs = _windowed_aggs(df, ts_col, config, approx_distinct)
+    grouped = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(*exprs)
+    )
+    return grouped.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.explode(F.array(*structs)).alias("kv"),
+    ).select(*WINDOW_COLS, "kv.*")
+
+
+def windowed_profile_stream(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    config: ProfilerConfig | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """The same windowed profile as a Structured Streaming aggregation.
+
+    ``stream`` comes from ``spark.readStream`` (file source, Kafka after
+    parsing, rate source for tests). The watermark bounds state: windows
+    older than (max event time - watermark) finalize and emit in append
+    mode; late events beyond it are dropped — the documented completeness
+    tradeoff of any streaming profile.
+
+    Usage::
+
+        q = (windowed_profile_stream(stream, "ts", "1 hour")
+             .writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .format("parquet").option("path", out).start())
+    """
+    config = config or ProfilerConfig()
+    exprs, structs = _windowed_aggs(stream, ts_col, config, approx_distinct)
+    grouped = (
+        stream.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(*exprs)
+    )
+    return grouped.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.explode(F.array(*structs)).alias("kv"),
+    ).select(*WINDOW_COLS, "kv.*")
