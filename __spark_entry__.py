@@ -179,6 +179,37 @@ def _catalog_params_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- coverage: typed/catalog
+
+def _profile_orders_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_unsupported_types + profile_timestamps: o_orderdate is cast
+    to string (types.cast_convertibles) and profiled as text."""
+    cfg = ProfilerConfig(profile_unsupported_types=True, profile_timestamps=True)
+    return _present(
+        profile_table(_t(spark, sf_dir, "orders"), cfg, include_approx=False)
+    )
+
+
+CATALOG_TABLES = ("region", "nation", "supplier")
+
+
+def _profile_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-enumeration path (Main.scala:188-195 local mode): tables are
+    discovered via spark.catalog.listTables, not passed as DataFrames."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.profile import profile_catalog_database
+
+    for n, df in load_tables(spark, sf_dir, CATALOG_TABLES).items():
+        df.createOrReplaceTempView(f"cat_{n}")
+    m = profile_catalog_database(
+        spark,
+        "default",
+        ProfilerConfig(),
+        include_approx=False,
+        names=[f"cat_{n}" for n in CATALOG_TABLES],
+    )
+    return _present(m)
+
+
 # -------------------------------------------------------------- streaming
 
 def _profile_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["publish_metrics_parquet"] = _publish_metrics_parquet
     q["catalog_params_sink"] = _catalog_params_sink
     q["profile_events_windowed"] = _profile_events_windowed
+    q["profile_orders_typed"] = _profile_orders_typed
+    q["profile_catalog_scan"] = _profile_catalog_scan
     q.update(_extension_queries())
     return q
 
@@ -375,5 +408,11 @@ GROUP BY n_name ORDER BY n_name
     )
     o["catalog_params_sink"] = O.catalog_params_sql(SINK_TABLES, "DQP__")
     o["profile_events_windowed"] = O.windowed_profile_sql("events", "ts")
+    o["profile_orders_typed"] = O.profile_table_typed_sql("orders")
+    o["profile_catalog_scan"] = "\nUNION ALL\n".join(
+        f"SELECT entity, instance, name, value, type, 'cat_{t}' AS table_name "
+        f"FROM ({O.profile_table_sql(t, expensive=False)})"
+        for t in CATALOG_TABLES
+    )
     o.update(_extension_oracles())
     return o

@@ -101,10 +101,20 @@ def profile_catalog_database(
     spark: SparkSession,
     db_name: str,
     config: ProfilerConfig | None = None,
+    include_approx: bool = True,
+    names: list[str] | None = None,
 ) -> DataFrame:
-    """Profile every table of a metastore/catalog database by name."""
-    tables = {
-        name: spark.table(f"{db_name}.{name}")
-        for name in list_catalog_tables(spark, db_name)
-    }
-    return profile_database(tables, config)
+    """Profile every table of a metastore/catalog database by name.
+
+    Temp views surface in ``listTables`` without a database — they resolve
+    unqualified (``spark.table(name)``); metastore tables resolve as
+    ``db.name``. ``names`` optionally restricts the run to a subset (the
+    reference always profiles the full database, Main.scala:188-195).
+    """
+    tables = {}
+    for t in spark.catalog.listTables(db_name):
+        if names is not None and t.name not in names:
+            continue
+        qualified = f"{t.database}.{t.name}" if t.database else t.name
+        tables[t.name] = spark.table(qualified)
+    return profile_database(tables, config, include_approx=include_approx)

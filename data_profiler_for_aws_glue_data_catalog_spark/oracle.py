@@ -331,3 +331,43 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        entity, instance, name, value, type
 FROM ({body})
 """
+
+
+# Columns the engine profiles only under profile_unsupported_types (+
+# profile_timestamps): cast to string, then treated as text. The engine
+# reports the post-cast type ('string') in the type column.
+CONVERT_COLUMNS: dict[str, list[str]] = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def profile_table_typed_sql(table: str) -> str:
+    """Oracle for the profile_unsupported_types=True path: the base default
+    profile plus each convertible column profiled as text over its VARCHAR
+    cast (types.cast_convertibles)."""
+    parts = [profile_table_sql(table, expensive=False)]
+    for c in CONVERT_COLUMNS.get(table, []):
+        expr = f"CAST({c} AS VARCHAR)"
+        rows = [
+            _row(
+                "Column", c, "Completeness",
+                f"CAST(COUNT({expr}) AS DOUBLE) / COUNT(*)", "string",
+            ),
+            _row(
+                "Column", c, "Distinctness",
+                f"CAST(COUNT(DISTINCT {expr}) AS DOUBLE) / "
+                f"NULLIF(COUNT({expr}), 0)", "string",
+            ),
+            _row(
+                "Column", c, "MaxLength",
+                f"CAST(MAX(LENGTH({expr})) AS DOUBLE)", "string",
+            ),
+            _row(
+                "Column", c, "MinLength",
+                f"CAST(MIN(LENGTH({expr})) AS DOUBLE)", "string",
+            ),
+        ]
+        parts += [r + f" FROM {table}" for r in rows]
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
