@@ -303,14 +303,42 @@ def _embs_op(fn):
     return q
 
 
+DUP_N = 50
+
+
+def _binary_fixture(docs: DataFrame) -> DataFrame:
+    """documents.text as an opaque binary payload + a duplicated slice so
+    dedup has real groups (mirrored by oracle_ext._binary_fixture_sql)."""
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("payload")
+    )
+    dups = docs.where(F.col("doc_id") < DUP_N).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return base.unionByName(dups)
+
+
 def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_profiler_for_aws_glue_data_catalog_spark.operators import (
         dedup as D,
+        multimodal as MM,
         similarity as S,
         text_analysis as TA,
     )
 
     return {
+        "multimodal_binary_profile": _docs_op(
+            lambda d: MM.binary_scan_metrics(_binary_fixture(d), "payload")
+        ),
+        "multimodal_binary_dedup": _docs_op(
+            lambda d: MM.binary_duplicate_groups(_binary_fixture(d), "id", "payload")
+        ),
+        "multimodal_decode_features": _docs_op(
+            lambda d: MM.decode_features(_binary_fixture(d), "id", "payload").select(
+                "id", "width", "height", "channels", "n_bytes"
+            )
+        ),
         "text_stats": _docs_op(TA.text_stats),
         "text_language_id": _docs_op(TA.language_id),
         "text_quality": _docs_op(TA.quality_score),
@@ -332,6 +360,9 @@ def _extension_oracles() -> dict[str, str]:
     from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
 
     return {
+        "multimodal_binary_profile": OX.binary_profile_sql(dup_n=DUP_N),
+        "multimodal_binary_dedup": OX.binary_dedup_sql(dup_n=DUP_N),
+        "multimodal_decode_features": OX.decode_features_sql(dup_n=DUP_N),
         "text_stats": OX.text_stats_sql(),
         "text_language_id": OX.language_id_sql(),
         "text_quality": OX.quality_score_sql(),

@@ -453,3 +453,84 @@ SELECT {id_col},
   {simhash32_sql('_th')} AS simhash
 FROM w
 """
+
+
+# ------------------------------------------------------------- multimodal
+
+# Binary fixture: documents.text re-encoded as an opaque payload, plus a
+# duplicated slice so dedup has real groups (operators/multimodal.py).
+# DuckDB strings are UTF-8, so strlen() (bytes) == Spark length(binary) of
+# CAST(text AS BINARY), and md5(VARCHAR) hashes the same bytes as Spark's
+# md5 over the binary payload.
+
+def _binary_fixture_sql(table: str, text_col: str, id_col: str, dup_n: int) -> str:
+    return f"""
+SELECT {id_col} AS id, {text_col} AS payload_text FROM {table}
+UNION ALL
+SELECT {id_col} + 1000000 AS id, {text_col} AS payload_text
+FROM {table} WHERE {id_col} < {dup_n}
+"""
+
+
+def binary_profile_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", dup_n: int = 50,
+) -> str:
+    fx = _binary_fixture_sql(table, text_col, id_col, dup_n)
+    nb = "strlen(payload_text)"
+
+    def row(name, value):
+        return (
+            f"SELECT 'Column' AS entity, 'payload' AS instance, "
+            f"'{name}' AS name, {value} AS value, 'binary' AS type FROM fx"
+        )
+
+    return f"""
+WITH fx AS ({fx})
+{row("Completeness", "CAST(COUNT(payload_text) AS DOUBLE) / COUNT(*)")}
+UNION ALL
+{row("MaxByteLength", f"CAST(MAX({nb}) AS DOUBLE)")}
+UNION ALL
+{row("MinByteLength", f"CAST(MIN({nb}) AS DOUBLE)")}
+UNION ALL
+{row("MeanByteLength", f"CAST(SUM({nb}) AS DOUBLE) / COUNT(payload_text)")}
+UNION ALL
+{row("SumBytes", f"CAST(SUM({nb}) AS DOUBLE)")}
+"""
+
+
+def binary_dedup_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", dup_n: int = 50,
+) -> str:
+    fx = _binary_fixture_sql(table, text_col, id_col, dup_n)
+    return f"""
+WITH fx AS ({fx})
+SELECT md5(payload_text) AS digest,
+       CAST(strlen(payload_text) AS BIGINT) AS n_bytes,
+       COUNT(*) AS n_copies,
+       MIN(id) AS keeper_id
+FROM fx
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+"""
+
+
+def decode_features_sql(
+    table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id", dup_n: int = 50,
+) -> str:
+    """Mirror of the DETERMINISTIC FAKE decoder (multimodal._fake_decode):
+    dims derive from byte length only, so they are SQL-expressible; the
+    mean_byte feature is excluded here (unit-tested in Python instead)."""
+    fx = _binary_fixture_sql(table, text_col, id_col, dup_n)
+    nb = "strlen(payload_text)"
+    return f"""
+WITH fx AS ({fx})
+SELECT id,
+       CAST(1 + {nb} % 512 AS INT) AS width,
+       CAST(1 + ({nb} * 7) % 512 AS INT) AS height,
+       3 AS channels,
+       CAST({nb} AS BIGINT) AS n_bytes
+FROM fx
+"""
