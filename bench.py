@@ -55,8 +55,11 @@ def main() -> None:
         "profile_lineitem",
         "profile_orders",
         "profile_documents",
+        "profile_events_windowed",
         "q1_pricing_summary",
         "revenue_by_nation",
+        "publish_metrics_parquet",
+        "multimodal_binary_dedup",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
