@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators import similarity as S
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_cosine_topk_known_ranks(spark):
+    vs = _vecs(
+        spark,
+        [
+            [1, 0],        # 0: the query
+            [1, 0.01],     # 1: nearest
+            [1, 1],        # 2: cos ~ 0.707
+            [0, 1],        # 3: orthogonal
+            [-1, 0],       # 4: opposite
+        ],
+    )
+    rows = S.cosine_topk(vs, [0], k=3).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in rows] == [(1, 1), (2, 2), (3, 3)]
+    by_n = {r["neighbor_id"]: r["cosine"] for r in rows}
+    assert abs(by_n[2] - math.sqrt(0.5)) < 1e-6
+    assert by_n[3] == 0.0
+
+
+def test_topk_two_stage_equals_global_window(spark, embeddings):
+    got = S.cosine_topk(embeddings, [0, 1, 2], k=5)
+    # naive single-window global top-k over the same scored relation
+    e = S._normed(embeddings, "embedding", "vec_id")
+    q = e.where(F.col("id").isin([0, 1, 2])).select(
+        F.col("id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            S._cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_assign_cells_no_exchange(spark, embeddings):
+    # assignment itself adds NO exchange: on a naturally-partitioned normed
+    # frame (no ensure_parallelism repartition, no cache) the whole
+    # assign plan is scan -> project
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import with_norm
+
+    e = with_norm(embeddings, "embedding").select(
+        F.col("vec_id").alias("id"), "_v", "_norm"
+    )
+    cents = S.collect_centroids(e, 8)
+    plan = (
+        S.assign_cells(e, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_assign_cells_is_argmax(spark):
+    vs = _vecs(spark, [[1, 0], [0, 1], [0.9, 0.1], [0.1, 0.9]])
+    e = S._normed(vs, "embedding", "vec_id")
+    cents = S.collect_centroids(e, 2)  # centroids = vectors 0 and 1
+    cells = {r["id"]: r["cell"] for r in S.assign_cells(e, cents).collect()}
+    assert cells[2] == 0 and cells[3] == 1
+    # centroids assign to themselves
+    assert cells[0] == 0 and cells[1] == 1
+
+
+def test_probe_cells_nearest(spark):
+    vs = _vecs(spark, [[1, 0], [0, 1], [1, 1]])
+    e = S._normed(vs, "embedding", "vec_id")
+    cents = S.collect_centroids(e, 2)
+    q = e.where(F.col("id") == 2).select(
+        F.col("id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    probed = S.probe_cells(q, cents, n_probe=1).collect()
+    # [1,1] ties on cosine with both centroids -> deterministic tie-break on
+    # smaller cell id
+    assert len(probed) == 1 and probed[0]["cell"] == 0
+
+
+def test_ivf_topk_cosines_are_true(spark, embeddings):
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.cosine_topk(embeddings, [0, 1], k=50).collect()
+    }
+    ivf = S.ivf_topk(embeddings, [0, 1], k=10, n_cells=8, n_probe=4).collect()
+    # every IVF hit carries its true cosine (same ROUND6'd score)
+    hit = 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cosine"] == exact[key]
+            hit += 1
+    assert hit > 0
+
+
+def test_ivf_topk_no_nested_loop_join(spark, embeddings):
+    plan = (
+        S.ivf_topk(embeddings, [0, 1], k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
