@@ -176,3 +176,91 @@ def test_catalog_json_roundtrip(region_metrics, tmp_path):
         cat2.table("tpch", "region").column_parameters
         == cat.table("tpch", "region").column_parameters
     )
+
+
+# ------------------------------------------------------ glue catalog sink
+
+
+class _FakeGlue:
+    """boto3-glue-shaped fake: three pages of tables + one mutable table."""
+
+    def __init__(self):
+        self.pages = {
+            None: (["t1", "t2"], "p2"),
+            "p2": (["t3"], "p3"),
+            "p3": (["t4"], None),
+        }
+        self.table = {
+            "Name": "region",
+            "DatabaseName": "tpch",          # read-only: must be dropped
+            "CreateTime": "2020-01-01",      # read-only: must be dropped
+            "Parameters": {"owner": "team-data", "DQP__Size": "999.0"},
+            "PartitionKeys": [{"Name": "dt", "Type": "string"}],
+            "StorageDescriptor": {
+                "Columns": [
+                    {"Name": "r_regionkey ", "Type": "int"},  # padded name
+                    {
+                        "Name": "r_name",
+                        "Type": "string",
+                        "Parameters": {
+                            "DQP__Stale": "1.0",
+                            "comment": "user note",
+                        },
+                    },
+                ]
+            },
+        }
+        self.updated = None
+
+    def get_tables(self, DatabaseName, NextToken=None):
+        names, nxt = self.pages[NextToken]
+        resp = {"TableList": [{"Name": n} for n in names]}
+        if nxt:
+            resp["NextToken"] = nxt
+        return resp
+
+    def get_table(self, DatabaseName, Name):
+        return {"Table": self.table}
+
+    def update_table(self, DatabaseName, TableInput):
+        self.updated = (DatabaseName, TableInput)
+
+
+def test_glue_list_tables_paginates():
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks.glue_catalog import GlueMetadataCatalog
+
+    cat = GlueMetadataCatalog(client=_FakeGlue())
+    # the reference reads only the first page; we must see all four
+    assert cat.list_tables("tpch") == ["t1", "t2", "t3", "t4"]
+
+
+def test_glue_update_contract():
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks.glue_catalog import GlueMetadataCatalog
+
+    fake = _FakeGlue()
+    cat = GlueMetadataCatalog(client=fake)
+    cat.update_table_metadata(
+        "tpch",
+        "region",
+        "DQP__",
+        {"DQP__Size": "5.0"},
+        {
+            "r_regionkey": {"DQP__Completeness": "1.0"},
+            "r_name": {"DQP__Completeness": "1.0"},
+            "ghost_col": {"DQP__Completeness": "1.0"},  # unknown: skipped
+        },
+    )
+    db, ti = fake.updated
+    assert db == "tpch"
+    # read-only fields dropped from the TableInput copy
+    assert "DatabaseName" not in ti and "CreateTime" not in ti
+    # table-level upsert: user key survives, stale profiler key overwritten
+    assert ti["Parameters"] == {"owner": "team-data", "DQP__Size": "5.0"}
+    cols = {c["Name"].strip(): c for c in ti["StorageDescriptor"]["Columns"]}
+    # trimmed-name match reached the padded column
+    assert cols["r_regionkey"]["Parameters"] == {"DQP__Completeness": "1.0"}
+    # delete-then-upsert: stale prefixed key gone, user comment kept
+    assert cols["r_name"]["Parameters"] == {
+        "comment": "user note",
+        "DQP__Completeness": "1.0",
+    }
