@@ -81,6 +81,10 @@ def main() -> None:
     for name in names:
         if name not in qs:
             continue
+        # queries are independent workloads: drop cached relations the
+        # previous operator materialized so timings don't include cross-query
+        # cache eviction/GC pressure
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         n = df.count() if df.columns else 0
