@@ -142,39 +142,33 @@ MINHASH_B = (
 M32 = 2**32
 
 
-def shingle_hashes32(shingles: Column) -> Column:
-    """array<bigint>: one 32-bit md5-derived hash per shingle.
+def minhash_agg_exprs(h32: Column, n_hashes: int) -> list[Column]:
+    """Codegen'd MinHash: one ``F.min`` aggregate per affine family member,
+    over EXPLODED per-shingle 32-bit hashes (``h32`` is the exploded hash
+    column). Use as ``postings.groupBy("id").agg(*minhash_agg_exprs(...))``;
+    aliases are ``mh0..mh{n-1}``.
 
-    MATERIALIZE this as its own column (withColumn) before passing it to
-    :func:`minhash_from_hashes` — the signature references it once per
-    hash-family member, and only a column boundary makes Spark compute it
-    once (CollapseProject refuses to inline a non-cheap expression used
-    more than once; expression-internal duplication would re-run the md5s
-    n_hashes times).
-    """
-    return F.transform(shingles, lambda s: hex32_to_long(md5_hex(s)))
-
-
-def minhash_from_hashes(hs: Column, n_hashes: int) -> Column:
-    """array<bigint> MinHash signature from per-shingle 32-bit hashes:
-    sig[i] = MIN over shingles of (A[i]*h + B[i]) mod 2^32.
-
-    One md5 per shingle TOTAL (in ``hs``) — the affine family members are
-    pure int64 arithmetic. NULL-free only when the shingle set is non-empty
-    (callers filter empty docs first). Map-side only — no shuffle, no UDF.
+    sig[i] = MIN over shingles of (A[i]*h + B[i]) mod 2^32, exact int64
+    arithmetic. The explode + hash-aggregate shape keeps the whole signature
+    inside whole-stage codegen; array-lambda forms (transform/aggregate/
+    zip_with) drop to interpreted per-element evaluation (~2 us/element,
+    measured 10x slower at sf0.1) because higher-order functions don't
+    codegen. Partial aggregation collapses to one row per doc map-side, so
+    the groupBy shuffle moves ~n_hashes*8 bytes per document, not per
+    shingle.
     """
     assert n_hashes <= len(MINHASH_A)
-
-    def affine(i: int):
-        # single-arg lambda: a 2-parameter lambda would make F.transform
-        # pass the element INDEX as the second argument
-        a = F.lit(MINHASH_A[i]).cast("bigint")
-        b = F.lit(MINHASH_B[i]).cast("bigint")
-        return lambda h: F.pmod(a * h + b, F.lit(M32).cast("bigint"))
-
-    return F.array(
-        *[F.array_min(F.transform(hs, affine(i))) for i in range(n_hashes)]
-    )
+    m = F.lit(M32).cast("bigint")
+    return [
+        F.min(
+            F.pmod(
+                F.lit(MINHASH_A[i]).cast("bigint") * h32
+                + F.lit(MINHASH_B[i]).cast("bigint"),
+                m,
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
 
 
 def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:

@@ -27,8 +27,9 @@ Scale notes (100 TB)
   AQE skew join handles the residual tail.
 - minhash-lsh: candidate generation touches only band-key collisions
   (b buckets/doc), so the self-join is linear-ish in true-candidate count,
-  not O(n^2). Signatures are fixed k*8-byte arrays — map-side only, ONE md5
-  per shingle (affine hash family on top, functions/text.py).
+  not O(n^2). Signatures cost ONE md5 per shingle (affine hash family on
+  top, functions/text.py) via explode + codegen'd min-aggregates; partial
+  aggregation means the signature shuffle carries k*8 bytes per DOC.
   Verification re-joins the (id -> shingle set) relation on candidate ids.
 - simhash: fingerprints are 8 bytes/doc; the 4-band pigeonhole guarantees
   NO false negatives for Hamming distance <= 3. Collision buckets are
@@ -68,9 +69,7 @@ def exact_duplicates(
     )
 
 
-def _shingle_sets(
-    docs: DataFrame, text_col: str, id_col: str, n: int, do_materialize: bool = True
-) -> DataFrame:
+def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, sh: array<bigint>, sz: int) for docs with >= 1 shingle.
 
     Shingles are 60-bit hashes (functions.text.hashed_word_shingles): the
@@ -80,24 +79,25 @@ def _shingle_sets(
     Projects to (id, text) before the parallelism guard so the one-time
     repartition (if any) moves only those two columns.
 
-    ``do_materialize`` persists AND eagerly populates the result: every dedup
-    operator built on shingle sets consumes them from MULTIPLE plan
-    branches (hot-shingle cap, both self-join sides, the verify join), and
-    Spark re-executes the whole tokenize/shingle subtree per branch —
-    filter pushdown even duplicates it *within* a branch. Measured at
+    The result is persisted AND eagerly populated: every dedup operator
+    built on shingle sets consumes them from MULTIPLE plan branches
+    (hot-shingle cap, both self-join sides, the verify join), and Spark
+    re-executes the whole tokenize/shingle subtree per branch. Measured at
     sf0.1 this recompute is the entire cost of the operator (5-6x the
     one-pass compute). Persisting the (tiny relative to the corpus)
     shingle relation is the standard multi-consumer pattern; at 100 TB it
     spills to local disk like any shuffle would.
+
+    ORDERING CONSTRAINT: the empty-set filter is applied AFTER the persist
+    boundary, on the cached relation. Filtering before the cache looks
+    free but pushes ``size(<shingle expr>)`` below the projection, and the
+    interpreted (non-codegen) shingle expression then gets re-evaluated
+    per reference — measured 4x the whole materialize cost at sf0.1.
     """
     narrow = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     sh = X.hashed_word_shingles(X.tokens(F.col(text_col)), n)
-    out = (
-        narrow.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .withColumn("sz", F.size("sh"))
-        .where(F.col("sz") > 0)
-    )
-    return materialize(out) if do_materialize else out
+    raw = materialize(narrow.select(F.col(id_col).alias("id"), sh.alias("sh")))
+    return raw.withColumn("sz", F.size("sh")).where(F.col("sz") > 0)
 
 
 def _pair_jaccard(co: Column, sa: Column, sb: Column) -> Column:
@@ -186,16 +186,28 @@ def minhash_lsh_near_duplicates(
     32-bit hash per shingle (functions/text.py MINHASH_A/B), so the
     candidate set (and thus the result) is engine-reproducible, not a
     sampling artifact.
+
+    Signatures are computed by EXPLODING the cached shingle sets and taking
+    ``n_hashes`` codegen'd min-aggregates (text.minhash_agg_exprs) — one
+    whole-stage-codegen pass over the postings, with map-side partial
+    aggregation collapsing to one signature row per doc before the (tiny)
+    groupBy shuffle. The array-lambda alternative evaluates interpreted
+    per element and measured ~10x slower at sf0.1.
     """
     assert n_hashes == n_bands * rows_per_band
-    # one persisted frame carries shingle sets AND signatures: the band join
-    # reads it twice, the verify join twice more — all from cache.
-    base = _shingle_sets(docs, text_col, id_col, n, do_materialize=False)
+    # the persisted shingle-set frame feeds the signature pass AND the
+    # verify join (twice); everything reads the cache, not the corpus.
+    base = _shingle_sets(docs, text_col, id_col, n)
     # 32-bit per-shingle hash for the affine MinHash family = the low 32
     # bits of the 60-bit shingle hash (independent md5 bits) — no extra md5.
-    hs32 = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(X.M32).cast("bigint")))
+    h32 = F.pmod(F.col("h"), F.lit(X.M32).cast("bigint"))
     sig = materialize(
-        base.withColumn("sig", X.minhash_from_hashes(hs32, n_hashes))
+        base.select("id", F.explode("sh").alias("h"))
+        .groupBy("id")
+        .agg(*X.minhash_agg_exprs(h32, n_hashes))
+        .select(
+            "id", F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig")
+        )
     )
     keyed = sig.select(
         "id", F.explode(X.band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
@@ -206,7 +218,7 @@ def minhash_lsh_near_duplicates(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    sets = sig.select("id", "sh", "sz")
+    sets = base.select("id", "sh", "sz")
     verified = (
         cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
         .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
