@@ -42,6 +42,15 @@ Scale notes (100 TB)
 - Sketches (HLL++, percentile_approx) keep per-column state bounded
   (~1.5 KB and ~accuracy entries respectively) so driver/executor memory is
   O(columns), independent of rows.
+- NO repartition guard here, deliberately: a row-group-starved table (one
+  parquet row group caps scan parallelism at 1) profiles faster wide, but
+  a database-wide union of such plans schedules tables' stage chains
+  concurrently — inter-table parallelism already saturates the cluster,
+  and inserting a round-robin exchange per table measured 6x SLOWER for
+  the 10-table scan at sf0.1 (stage oversubscription + an extra full-table
+  shuffle each). Single-table callers that want intra-table width on
+  split-starved input can repartition explicitly
+  (plans.partitioning.ensure_parallelism).
 """
 
 from __future__ import annotations
@@ -49,15 +58,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType, NumericType
+from pyspark.sql import DataFrame
 
 from data_profiler_for_aws_glue_data_catalog_spark.config import ProfilerConfig
 from data_profiler_for_aws_glue_data_catalog_spark.operators import types as T
 from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import (
     METRIC_COLS,
-    metric_struct,
+    metric_struct_sql,
+    sql_ident,
 )
 
 # Exact accumulation types: values are rounded to 6 decimal places on cast,
@@ -74,50 +82,64 @@ SQ_DECIMAL = "decimal(18,6)"  # squares -> decimal(37,12), sum decimal(38,12)
 # (correct, but last-ulp partition-order dependent) — documented tradeoff.
 SUM_GUARD = 1e21  # decimal(27,6) integral headroom
 SQ_GUARD = 1e12  # decimal(18,6) integral headroom (squares)
+_SUM_GUARD_SQL = "1e21"
+_SQ_GUARD_SQL = "1e12"
 
 
 @dataclass
 class _Batch:
-    """One fused-agg job: aliased agg expressions + row->structs builders."""
+    """One fused-agg job: aliased agg expressions + row->structs builders.
 
-    exprs: list[Column] = field(default_factory=list)
-    builders: list[Callable[[], list[Column]]] = field(default_factory=list)
+    Expressions are Spark-SQL STRINGS, not Column objects: every Column
+    method is a py4j round trip, and a profile plan is thousands of
+    expression nodes (measured ~19 s of driver time for a 10-table database
+    at sf0.1 — more than the execution itself). Strings assemble for free
+    and the whole batch crosses the bridge in two calls (one selectExpr for
+    the agg row, one for the unpivot); Catalyst parses them into the same
+    trees the DSL would have built.
+    """
+
+    exprs: list[str] = field(default_factory=list)
+    builders: list[Callable[[], list[str]]] = field(default_factory=list)
     _n: int = 0
 
     def alias(self) -> str:
         self._n += 1
         return f"m{self._n}"
 
-    def add(self, expr: Column, make_structs: Callable[[str], list[Column]]) -> None:
+    def add(self, expr: str, make_structs: Callable[[str], list[str]]) -> None:
         a = self.alias()
-        self.exprs.append(expr.alias(a))
+        self.exprs.append(f"({expr}) AS {a}")
         self.builders.append(lambda a=a: make_structs(a))
 
 
-def _in_domain(c: str, limit: float) -> Column:
+def _in_domain_sql(c: str, limit: str) -> str:
     # NULL max (all-null column) -> NULL predicate -> fallback branch,
     # which also returns NULL there. Coalesce keeps intent explicit.
-    return F.coalesce(F.max(F.abs(F.col(c))) < F.lit(limit), F.lit(False))
+    return f"coalesce(max(abs({c})) < {limit}, false)"
 
 
-def _deterministic_sum(c: str) -> Column:
-    dec = F.sum(F.col(c).try_cast(SUM_DECIMAL)).cast("double")
-    return F.when(_in_domain(c, SUM_GUARD), dec).otherwise(
-        F.sum(F.col(c).cast("double"))
+def _det_sum_sql(c: str) -> str:
+    dec = f"cast(sum(try_cast({c} AS {SUM_DECIMAL})) AS double)"
+    return (
+        f"CASE WHEN {_in_domain_sql(c, _SUM_GUARD_SQL)} THEN {dec} "
+        f"ELSE sum(cast({c} AS double)) END"
     )
 
 
-def _mean_expr(c: str) -> Column:
+def _mean_sql(c: str) -> str:
     # try_divide: NULL (not an ANSI error) when the column is all-null/empty
-    dec = F.try_divide(
-        F.sum(F.col(c).try_cast(SUM_DECIMAL)).cast("double"), F.count(F.col(c))
+    dec = (
+        f"try_divide(cast(sum(try_cast({c} AS {SUM_DECIMAL})) AS double), "
+        f"count({c}))"
     )
-    return F.when(_in_domain(c, SUM_GUARD), dec).otherwise(
-        F.avg(F.col(c).cast("double"))
+    return (
+        f"CASE WHEN {_in_domain_sql(c, _SUM_GUARD_SQL)} THEN {dec} "
+        f"ELSE avg(cast({c} AS double)) END"
     )
 
 
-def _stddev_pop_expr(c: str) -> Column:
+def _stddev_pop_sql(c: str) -> str:
     """Population stddev from exact decimal moments, fixed expression shape.
 
     var = (sum(x^2) - sum(x)^2 / n) / n over the 6-dp-rounded values; both
@@ -125,18 +147,20 @@ def _stddev_pop_expr(c: str) -> Column:
     IEEE ops -> deterministic. Deequ parity: POPULATION variance
     (NOT Spark's sample-stddev default). Values beyond the decimal domain
     (|x| >= 1e12) switch to the IEEE stddev_pop fallback — see SQ_GUARD.
+
+    sx is the SAME expression as _det_sum_sql's decimal branch, so Catalyst
+    dedups the two into one aggregate buffer (same value: both round the
+    input to 6 dp before the exact sum).
     """
-    xd = F.col(c).try_cast(SQ_DECIMAL)
-    # sx is the SAME expression tree as _deterministic_sum's decimal branch,
-    # so Catalyst dedups the two into one aggregate buffer (same value: both
-    # round the input to 6 dp before the exact sum).
-    sx = F.sum(F.col(c).try_cast(SUM_DECIMAL)).cast("double")
-    sx2 = F.sum(xd * xd).cast("double")
-    n = F.count(F.col(c)).cast("double")
-    var = F.try_divide(sx2 - F.try_divide(sx * sx, n), n)
-    dec = F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
-    return F.when(_in_domain(c, SQ_GUARD), dec).otherwise(
-        F.stddev_pop(F.col(c).cast("double"))
+    xd = f"try_cast({c} AS {SQ_DECIMAL})"
+    sx = f"cast(sum(try_cast({c} AS {SUM_DECIMAL})) AS double)"
+    sx2 = f"cast(sum({xd} * {xd}) AS double)"
+    n = f"cast(count({c}) AS double)"
+    var = f"try_divide({sx2} - try_divide({sx} * {sx}, {n}), {n})"
+    dec = f"CASE WHEN {n} > 0 THEN sqrt(greatest({var}, 0.0D)) END"
+    return (
+        f"CASE WHEN {_in_domain_sql(c, _SQ_GUARD_SQL)} THEN {dec} "
+        f"ELSE stddev_pop(cast({c} AS double)) END"
     )
 
 
@@ -190,8 +214,8 @@ def scan_metrics_long(
     distinct_batches: list[_Batch] = [_Batch()]
     if include_size:
         batches[0].add(
-            F.count(F.lit(1)),
-            lambda a: [metric_struct("Dataset", "*", "Size", F.col(a), None)],
+            "count(1)",
+            lambda a: [metric_struct_sql("Dataset", "*", "Size", a, None)],
         )
 
     per_batch = max(1, config.max_fused_columns_per_pass)
@@ -203,62 +227,64 @@ def scan_metrics_long(
         b = batches[-1]
         sb = sketch_batches[-1]
         db = distinct_batches[-1]
-        col = F.col(c)
+        q = sql_ident(c)
 
         def m(name: str, col_name=c, col_type=typ):
             def make(a: str, name=name):
-                return [metric_struct("Column", col_name, name, F.col(a), col_type)]
+                return [metric_struct_sql("Column", col_name, name, a, col_type)]
 
             return make
 
-        b.add(F.try_divide(F.count(col), F.count(F.lit(1))), m("Completeness"))
+        b.add(f"try_divide(count({q}), count(1))", m("Completeness"))
         # Distinctness = exact distinct non-null / non-null rows (Deequ's
         # frequency-table d/n), emitted for every profiled column in every
         # mode — reference parity (Main.scala:318,342).
         db.add(
-            F.try_divide(F.count_distinct(col).cast("double"), F.count(col)),
+            f"try_divide(cast(count(DISTINCT {q}) AS double), count({q}))",
             m("Distinctness"),
         )
         if include_approx:
             sb.add(
-                F.approx_count_distinct(col, rsd=config.approx_distinct_rsd),
+                f"approx_count_distinct({q}, {config.approx_distinct_rsd!r})",
                 m("ApproxCountDistinct"),
             )
         if kind == T.NUMERIC:
-            b.add(F.max(col), m("Maximum"))
-            b.add(F.min(col), m("Minimum"))
-            b.add(_deterministic_sum(c), m("Sum"))
-            b.add(_mean_expr(c), m("Mean"))
-            b.add(_stddev_pop_expr(c), m("StandardDeviation"))
+            b.add(f"max({q})", m("Maximum"))
+            b.add(f"min({q})", m("Minimum"))
+            b.add(_det_sum_sql(q), m("Sum"))
+            b.add(_mean_sql(q), m("Mean"))
+            b.add(_stddev_pop_sql(q), m("StandardDeviation"))
             if include_approx:
                 pts = quantile_points(config.n_quantiles)
+                pts_sql = ", ".join(repr(p) for p in pts)
                 sb.add(
-                    F.percentile_approx(col, pts, config.quantile_accuracy),
+                    f"percentile_approx({q}, array({pts_sql}), "
+                    f"{config.quantile_accuracy})",
                     lambda a, col_name=c, col_type=typ, pts=pts: [
-                        metric_struct(
+                        metric_struct_sql(
                             "Column",
                             col_name,
                             quantile_name(p),
-                            F.element_at(F.col(a), i + 1),
+                            f"element_at({a}, {i + 1})",
                             col_type,
                         )
                         for i, p in enumerate(pts)
                     ],
                 )
         else:  # text (and convertibles already cast to string)
-            b.add(F.max(F.length(col)), m("MaxLength"))
-            b.add(F.min(F.length(col)), m("MinLength"))
+            b.add(f"max(length({q}))", m("MaxLength"))
+            b.add(f"min(length({q}))", m("MinLength"))
     batches += sketch_batches + distinct_batches
 
     parts: list[DataFrame] = []
     for b in batches:
         if not b.exprs:
             continue
-        row = df.agg(*b.exprs)
+        row = df.selectExpr(*b.exprs)
         structs = [s for make in b.builders for s in make()]
-        parts.append(
-            row.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
-        )
+        # inline() explodes the array of metric structs straight into the
+        # five metric columns — the whole unpivot is ONE parsed expression.
+        parts.append(row.selectExpr(f"inline(array({', '.join(structs)}))"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

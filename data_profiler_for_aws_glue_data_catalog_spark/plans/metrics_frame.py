@@ -58,3 +58,35 @@ def metric_struct(entity: str, instance: str, name, value, col_type: str | None)
         value.cast("double").alias("value"),
         F.lit(col_type).cast("string").alias("type"),
     )
+
+
+def sql_str(v: str) -> str:
+    """Single-quoted Spark-SQL string literal."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_ident(c: str) -> str:
+    """Backtick-quoted Spark-SQL column reference."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def metric_struct_sql(
+    entity: str, instance: str, name: str, value_sql: str, col_type: str | None
+) -> str:
+    """SQL-string twin of :func:`metric_struct` (same fields, same types).
+
+    Metric expression builders emit SQL text instead of Column trees
+    because every Column method call is a py4j round trip: a wide table's
+    profile plan is tens of thousands of calls (~19 s of pure driver time
+    for 10 tables at sf0.1, measured), while string assembly is free and
+    the whole batch parses in ONE call. Catalyst sees identical expression
+    trees either way.
+    """
+    t = sql_str(col_type) if col_type is not None else "CAST(NULL AS string)"
+    return (
+        f"named_struct('entity', {sql_str(entity)}, "
+        f"'instance', {sql_str(instance)}, "
+        f"'name', {sql_str(name)}, "
+        f"'value', CAST(({value_sql}) AS double), "
+        f"'type', {t})"
+    )

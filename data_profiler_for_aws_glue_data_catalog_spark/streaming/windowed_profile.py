@@ -39,11 +39,14 @@ from pyspark.sql import functions as F
 from data_profiler_for_aws_glue_data_catalog_spark.config import ProfilerConfig
 from data_profiler_for_aws_glue_data_catalog_spark.operators import types as T
 from data_profiler_for_aws_glue_data_catalog_spark.operators.scan_metrics import (
-    _deterministic_sum,
-    _mean_expr,
-    _stddev_pop_expr,
+    _det_sum_sql,
+    _mean_sql,
+    _stddev_pop_sql,
 )
-from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import metric_struct
+from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import (
+    metric_struct,
+    sql_ident,
+)
 
 WINDOW_COLS = ["window_start", "window_end"]
 
@@ -85,11 +88,12 @@ def _windowed_aggs(
                 "Column", c, "ApproxCountDistinct", typ,
             )
         if kind == T.NUMERIC:
+            q = sql_ident(c)
             add(F.max(col).cast("double"), "Column", c, "Maximum", typ)
             add(F.min(col).cast("double"), "Column", c, "Minimum", typ)
-            add(_deterministic_sum(c), "Column", c, "Sum", typ)
-            add(_mean_expr(c), "Column", c, "Mean", typ)
-            add(_stddev_pop_expr(c), "Column", c, "StandardDeviation", typ)
+            add(F.expr(_det_sum_sql(q)), "Column", c, "Sum", typ)
+            add(F.expr(_mean_sql(q)), "Column", c, "Mean", typ)
+            add(F.expr(_stddev_pop_sql(q)), "Column", c, "StandardDeviation", typ)
         elif kind == T.TEXT:
             add(F.max(F.length(col)), "Column", c, "MaxLength", typ)
             add(F.min(F.length(col)), "Column", c, "MinLength", typ)
