@@ -289,6 +289,66 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream with a synthetic event time
+    (deterministic: epoch + doc_id seconds).
+
+    The file streaming source requires a DIRECTORY; the single-file test
+    table is exposed through a symlink in a temp dir (no data copy).
+    """
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="sg_stream_src_")
+    os.symlink(path, os.path.join(d, "documents.parquet"))
+    return spark.readStream.schema(schema).parquet(d).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    )
+
+
+def _run_to_table(out: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming frame with availableNow into a memory sink and
+    return the collected batch relation."""
+    import tempfile
+    import uuid
+
+    name = f"sq_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over documents; emits the distinct content
+    hashes that survive (kept-id is arrival-order-dependent, so only the
+    deterministic key column is exposed to the correctness contract)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming import stream_exact_dedup
+
+    out = stream_exact_dedup(_doc_stream(spark, sf_dir))
+    return _run_to_table(out, spark).select("content_md5")
+
+
+def _stream_occurrence_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-content occurrence annotation (applyInPandasWithState);
+    availableNow over one file = one micro-batch, so the within-group id
+    ordering makes the result equal to a row_number() oracle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming import (
+        stream_occurrence_index,
+    )
+
+    out = stream_occurrence_index(_doc_stream(spark, sf_dir))
+    return _run_to_table(out, spark)
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -353,6 +413,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
+        "stream_dedup_exact": _stream_dedup_exact,
+        "stream_occurrence_index": _stream_occurrence_index,
     }
 
 
@@ -375,6 +437,8 @@ def _extension_oracles() -> dict[str, str]:
         "dedup_embedding_exact": OX.embedding_near_duplicates_sql(n_cells=None),
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
+        "stream_dedup_exact": OX.stream_dedup_exact_sql(),
+        "stream_occurrence_index": OX.stream_occurrence_index_sql(),
     }
 
 

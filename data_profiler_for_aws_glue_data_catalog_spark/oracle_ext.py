@@ -193,6 +193,31 @@ FROM h
 """
 
 
+def stream_dedup_exact_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """Mirror of the streaming exact dedup's deterministic output: the
+    distinct normalized-content hashes (survivor identity is
+    arrival-order-dependent and excluded from the contract)."""
+    return (
+        f"SELECT DISTINCT md5({norm_sql(text_col)}) AS content_md5 FROM {table}"
+    )
+
+
+def stream_occurrence_index_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Mirror of streaming/stateful_dedup.stream_occurrence_index under a
+    single-micro-batch run: occurrence = rank of id within its content
+    group."""
+    return f"""
+WITH h AS (SELECT {id_col} AS id, md5({norm_sql(text_col)}) AS content_md5 FROM {table})
+SELECT id, content_md5,
+  CAST(row_number() OVER (PARTITION BY content_md5 ORDER BY id) AS INT) AS occurrence
+FROM h
+"""
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (

@@ -6,6 +6,8 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.streaming import (
+    stream_exact_dedup,
+    stream_occurrence_index,
     windowed_profile,
     windowed_profile_stream,
 )
@@ -71,6 +73,53 @@ def test_windowed_profile_approx_distinct(spark):
     # exact small cardinalities: HLL++ is exact at these sizes
     assert m[("2024-01-01 00:00:00", "v", "ApproxCountDistinct")] == 2.0
     assert m[("2024-01-01 01:00:00", "s", "ApproxCountDistinct")] == 1.0
+
+
+def _mk_doc_stream(spark, tmp_path, name):
+    # ids 1..6; contents: A appears 3x (ids 1,3,5), B 2x (2,6), C once (4)
+    rows = [
+        (1, "alpha beta", datetime(2024, 1, 1, 0, 0)),
+        (2, "gamma", datetime(2024, 1, 1, 0, 1)),
+        (3, "Alpha  BETA!", datetime(2024, 1, 1, 0, 2)),  # normalizes = A
+        (4, "delta epsilon", datetime(2024, 1, 1, 0, 3)),
+        (5, "alpha beta", datetime(2024, 1, 1, 0, 4)),
+        (6, "gamma", datetime(2024, 1, 1, 0, 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, ts timestamp")
+    src = str(tmp_path / f"{name}_src")
+    df.coalesce(1).write.parquet(src)
+    return df, spark.readStream.schema(df.schema).parquet(src)
+
+
+def _run_stream(out, tmp_path, name):
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    _, stream = _mk_doc_stream(spark, tmp_path, "sded")
+    _run_stream(stream_exact_dedup(stream), tmp_path, "sded_out")
+    got = spark.table("sded_out").collect()
+    # one survivor per distinct normalized content
+    assert len(got) == 3
+    assert len({r["content_md5"] for r in got}) == 3
+    # ids 1/2/4 arrive first in file order for their groups
+    assert {r["id"] for r in got} == {1, 2, 4}
+
+
+def test_stream_occurrence_index(spark, tmp_path):
+    _, stream = _mk_doc_stream(spark, tmp_path, "socc")
+    _run_stream(stream_occurrence_index(stream), tmp_path, "socc_out")
+    got = {r["id"]: r["occurrence"] for r in spark.table("socc_out").collect()}
+    # every row kept, annotated with its within-group index by id order
+    assert got == {1: 1, 3: 2, 5: 3, 2: 1, 6: 2, 4: 1}
 
 
 def test_streaming_matches_batch(spark, tmp_path):
