@@ -1,0 +1,106 @@
+"""Physical-plan shape regression tests.
+
+Correctness tests prove the operators compute the right rows; these prove
+they compute them with the right PLAN — the properties that decide whether
+an operator survives a 100x scale-up:
+
+- candidate generation in near-dup/ANN operators is equi-join-based
+  (no BroadcastNestedLoopJoin / CartesianProduct except where a kernel is
+  explicitly brute-force);
+- IVF cell assignment is map-side (no Exchange between the input relation
+  and the assignment projection);
+- parquet scans receive pushed filters and pruned read schemas;
+- the tiny schema side of the metrics type join is broadcast.
+
+Plan strings come from the same explain path ``DataFrame.explain`` uses,
+asserted on substrings stable across Spark 4 plan rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators import dedup as D
+from data_profiler_for_aws_glue_data_catalog_spark.operators import similarity as S
+from data_profiler_for_aws_glue_data_catalog_spark.sources.registry import read_parquet_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(jqe, mode)
+
+
+def test_embedding_dedup_default_is_bucketed(embeddings):
+    """The registered embedding dedup (IVF cells) must not plan an O(n^2)
+    nested-loop join; the brute-force kernel is opt-in via n_cells=None."""
+    bucketed = plan_str(D.embedding_near_duplicates(embeddings))
+    assert "BroadcastNestedLoopJoin" not in bucketed
+    assert "CartesianProduct" not in bucketed
+
+    brute = plan_str(D.embedding_near_duplicates(embeddings, n_cells=None))
+    assert "BroadcastNestedLoopJoin" in brute or "CartesianProduct" in brute
+
+
+def test_ivf_assignment_is_map_side(embeddings):
+    """Nearest-centroid assignment = literal-array argmax: zero exchanges
+    on top of the input relation (the crossJoin+window formulation this
+    replaced shuffled n_cells x the data)."""
+    e = D.with_norm(embeddings).select(
+        F.col("vec_id").alias("id"), "_v", "_norm"
+    )
+    cents = S.collect_centroids(e, 4)
+    assigned = S.assign_cells(e, cents)
+    assert "Exchange" not in plan_str(assigned)
+
+
+def test_ivf_topk_no_nested_loop(embeddings):
+    """IVF search joins candidates on the cell key (equi) with a broadcast
+    probe side — never a nested-loop/cartesian plan."""
+    p = plan_str(S.ivf_topk(embeddings, [0, 1], k=5, n_cells=4, n_probe=2))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_lsh_band_joins_are_equi(documents):
+    """MinHash-LSH and SimHash candidate joins collide on band keys:
+    equi-joins only, no all-pairs operator anywhere in the plan."""
+    for df in (
+        D.minhash_lsh_near_duplicates(documents),
+        D.simhash_near_duplicates(documents),
+    ):
+        p = plan_str(df)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+
+def test_parquet_scan_pushdown(spark):
+    """Filters and projections must reach the parquet scan: PushedFilters
+    populated, ReadSchema pruned to the selected columns."""
+    li = read_parquet_table(spark, f"{SF_SMOKE}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    p = plan_str(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity," in p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_metrics_type_join_is_broadcast(spark):
+    """The metrics-to-schema-type join broadcasts the tiny schema side."""
+    import __spark_entry__ as e
+
+    df = e.queries()["metrics_typed_join"](spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_exact_dedup_single_shuffle(documents):
+    """Exact dedup = one hash-partition exchange on the content key (the
+    window), nothing else — no join-back, no second shuffle."""
+    p = plan_str(D.exact_duplicates(documents), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
