@@ -7,6 +7,13 @@ Prints ONE JSON line:
 Each query is timed as a full action (collect of a small result); the first
 is preceded by an untimed warmup touch of every input file so JVM/session
 startup and OS page cache don't pollute query timings.
+
+The suite runs TWICE and the per-query minimum is reported: at sf0.1 these
+queries are seconds-scale, where host/scheduler noise on a shared machine
+dominates (the same query measured 5-15 s across runs with identical plans
+on an otherwise idle VM). The min of two runs estimates intrinsic plan cost;
+both passes clear the Spark cache first, so no run benefits from a warm
+cache the other lacks.
 """
 
 from __future__ import annotations
@@ -78,18 +85,20 @@ def main() -> None:
         df.count()
 
     timings: dict[str, float] = {}
-    for name in names:
-        if name not in qs:
-            continue
-        # queries are independent workloads: drop cached relations the
-        # previous operator materialized so timings don't include cross-query
-        # cache eviction/GC pressure
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count() if df.columns else 0
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+    for _rep in range(2):
+        for name in names:
+            if name not in qs:
+                continue
+            # queries are independent workloads: drop cached relations the
+            # previous operator materialized so timings don't include
+            # cross-query cache eviction/GC pressure
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count() if df.columns else 0
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
+            _ = n
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
