@@ -20,6 +20,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TPCH_TABLES = (
     "region",
@@ -85,6 +86,39 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
     return df
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-dispatched table read: parquet (default), csv, json, orc.
+
+    The reference profiles whatever format the Hive/Glue metastore serves a
+    table in (DataProfilerForAWSGlueDataCatalog.scala:263 resolves by name,
+    not format); our registry equivalent dispatches on an explicit ``fmt``
+    or the file extension. Parquet goes through the TIMESTAMP(NANOS)-safe
+    path; the text formats default to ``header=true`` (csv) and get an
+    explicit ``schema`` (DDL string or StructType) when the caller has one — schema inference over a
+    100 TB text table is a full extra scan, so at scale pass the schema
+    from the catalog instead of inferring.
+    """
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = ext if ext in ("csv", "json", "orc") else "parquet"
+    if fmt == "parquet":
+        return read_parquet_table(spark, path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    return reader.options(**options).format(fmt).load(path)
 
 
 def load_tables(

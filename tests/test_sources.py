@@ -1,0 +1,51 @@
+"""Source-layer tests: format dispatch and the TIMESTAMP(NANOS) path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark import profile_table
+from data_profiler_for_aws_glue_data_catalog_spark.sources import read_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _metric_map(df):
+    return {
+        (r["instance"], r["name"]): r["value"]
+        for r in df.collect()
+    }
+
+
+def test_read_table_format_dispatch(spark, tmp_path):
+    """The same relation profiled from parquet, csv and json yields the
+    same metrics (csv/json get an explicit schema — catalog-style)."""
+    base = read_table(spark, f"{SF_SMOKE}/region.parquet")
+    schema = base.schema
+
+    csv_dir = str(tmp_path / "region_csv")
+    json_dir = str(tmp_path / "region_json")
+    base.coalesce(1).write.option("header", "true").csv(csv_dir)
+    base.coalesce(1).write.json(json_dir)
+
+    expected = _metric_map(profile_table(base))
+    for path, fmt in ((csv_dir, "csv"), (json_dir, "json")):
+        got = _metric_map(profile_table(read_table(spark, path, fmt=fmt, schema=schema)))
+        assert got == expected, f"{fmt} profile diverged"
+
+
+def test_read_table_infers_format_from_extension(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    p = str(tmp_path / "t.csv")
+    df.coalesce(1).write.option("header", "true").csv(p)
+    back = read_table(spark, p, schema="id int, s string")
+    assert back.orderBy("id").collect() == df.orderBy("id").collect()
+
+
+def test_nanos_timestamps_restored(spark):
+    """events.parquet carries TIMESTAMP(NANOS); the source layer must hand
+    back real TimestampType columns."""
+    ev = read_table(spark, f"{SF_SMOKE}/events.parquet")
+    ts_fields = [f for f in ev.schema.fields if f.dataType.typeName() == "timestamp"]
+    assert ts_fields, "no timestamp column restored"
+    assert ev.where(F.col(ts_fields[0].name).isNotNull()).count() > 0
