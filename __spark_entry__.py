@@ -190,6 +190,20 @@ def _profile_orders_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_lineitem_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-piggyback profile: scan metrics collected as a side
+    effect of a user action (here: a count) — zero dedicated profile scan.
+    Sketches excluded (rows-only by contract); Distinctness excluded
+    (observe() cannot carry DISTINCT aggregates)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.observe import attach_scan_observation
+
+    observed, handle = attach_scan_observation(
+        _t(spark, sf_dir, "lineitem"), include_approx=False
+    )
+    observed.count()  # the "user job" the metrics ride on
+    return _present(handle.metrics(spark))
+
+
 CATALOG_TABLES = ("region", "nation", "supplier")
 
 
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_events_windowed"] = _profile_events_windowed
     q["profile_orders_typed"] = _profile_orders_typed
     q["profile_catalog_scan"] = _profile_catalog_scan
+    q["profile_lineitem_observed"] = _profile_lineitem_observed
     q.update(_extension_queries())
     return q
 
@@ -509,5 +524,6 @@ GROUP BY n_name ORDER BY n_name
         f"FROM ({O.profile_table_sql(t, expensive=False)})"
         for t in CATALOG_TABLES
     )
+    o["profile_lineitem_observed"] = O.observed_profile_sql("lineitem")
     o.update(_extension_oracles())
     return o

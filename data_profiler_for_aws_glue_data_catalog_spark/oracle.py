@@ -153,7 +153,9 @@ def _stddev_sql(c: str) -> str:
     return f"ROUND({_guarded(c, _SQ_GUARD, dec, f'STDDEV_POP(CAST({c} AS DOUBLE))')}, 6)"
 
 
-def scan_metric_rows(table: str, c: str, kind: str, typ: str) -> list[str]:
+def scan_metric_rows(
+    table: str, c: str, kind: str, typ: str, include_distinctness: bool = True
+) -> list[str]:
     rows = [
         _row(
             "Column",
@@ -162,15 +164,18 @@ def scan_metric_rows(table: str, c: str, kind: str, typ: str) -> list[str]:
             f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)",
             typ,
         ),
-        # every profiled column in every mode — reference parity
-        _row(
-            "Column",
-            c,
-            "Distinctness",
-            f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) / NULLIF(COUNT({c}), 0)",
-            typ,
-        ),
     ]
+    if include_distinctness:
+        # every profiled column in every mode — reference parity
+        rows.append(
+            _row(
+                "Column",
+                c,
+                "Distinctness",
+                f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) / NULLIF(COUNT({c}), 0)",
+                typ,
+            )
+        )
     if kind == NUM:
         rows += [
             _row("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ),
@@ -246,6 +251,16 @@ def profile_table_sql(
     if with_table_name:
         return f"SELECT entity, instance, name, value, type, '{table}' AS table_name FROM ({body})"
     return body
+
+
+def observed_profile_sql(table: str) -> str:
+    """Oracle for the Observation-piggyback profile: the fused-scan surface
+    minus Distinctness (observe() cannot carry DISTINCT aggregates) and
+    minus sketches (rows-only by contract)."""
+    parts = [size_sql(table)]
+    for c, kind, typ in TABLE_COLUMNS[table]:
+        parts += scan_metric_rows(table, c, kind, typ, include_distinctness=False)
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
 
 
 def profile_database_sql(expensive: bool = False, n_bins: int = 10) -> str:
