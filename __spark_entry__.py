@@ -363,6 +363,18 @@ def _stream_occurrence_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark)
 
 
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+def _session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -429,6 +441,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_occurrence_index": _stream_occurrence_index,
+        "sessionize_events": _sessionize_events,
+        "session_stats_events": _session_stats_events,
     }
 
 
@@ -453,6 +467,8 @@ def _extension_oracles() -> dict[str, str]:
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "stream_dedup_exact": OX.stream_dedup_exact_sql(),
         "stream_occurrence_index": OX.stream_occurrence_index_sql(),
+        "sessionize_events": OX.sessionize_sql(),
+        "session_stats_events": OX.session_stats_sql(),
     }
 
 

@@ -218,6 +218,68 @@ FROM h
 """
 
 
+def sessionize_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_us: int = 4 * 3600 * 1_000_000,
+) -> str:
+    """Mirror of operators/sessions.sessionize: gaps-and-islands with the
+    same exact-microsecond gap comparison and (ts, id) ordering."""
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS event_id, {user_col} AS user_id, {ts_col} AS ts
+  FROM {table} WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL),
+g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
+      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM e)
+SELECT event_id, user_id,
+  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+FROM g
+"""
+
+
+def session_stats_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap_us: int = 4 * 3600 * 1_000_000,
+) -> str:
+    """Mirror of operators/sessions.session_stats: sessions from the same
+    gaps-and-islands, session_end = last event + gap (Spark session-window
+    semantics), decimal-deterministic value sum."""
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS user_id, {ts_col} AS ts, {value_col} AS v
+  FROM {table} WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL),
+g AS (
+  SELECT user_id, ts, v,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts) > {gap_us}
+      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM e),
+s AS (
+  SELECT user_id, ts, v,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + to_microseconds({gap_us}) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (
