@@ -375,6 +375,30 @@ def _session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+def _asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent preceding view."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    return asof_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+    )
+
+
+def _interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event joined to its containing session interval —
+    the bucketed range join over session_stats output."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.interval_join import interval_join
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join(
+        ev.where(F.col("event_type") == "error"),
+        session_stats(ev),
+    )
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -443,6 +467,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_occurrence_index": _stream_occurrence_index,
         "sessionize_events": _sessionize_events,
         "session_stats_events": _session_stats_events,
+        "asof_click_view": _asof_events,
+        "interval_join_sessions": _interval_join_events,
     }
 
 
@@ -469,6 +495,8 @@ def _extension_oracles() -> dict[str, str]:
         "stream_occurrence_index": OX.stream_occurrence_index_sql(),
         "sessionize_events": OX.sessionize_sql(),
         "session_stats_events": OX.session_stats_sql(),
+        "asof_click_view": OX.asof_join_sql(),
+        "interval_join_sessions": OX.interval_join_sql(),
     }
 
 

@@ -280,6 +280,48 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def asof_join_sql(
+    table: str = "events",
+    left_type: str = "click",
+    right_type: str = "view",
+) -> str:
+    """Mirror of operators/asof.asof_join via DuckDB's native ASOF JOIN.
+
+    Right rows are deduped to the max-event_id row per (user, ts) first —
+    the same winner the Spark side's (ts, tag, order) sort selects — so
+    tie handling is identical across engines."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts FROM {table}
+           WHERE event_type = '{left_type}' AND ts IS NOT NULL AND user_id IS NOT NULL),
+r0 AS (SELECT user_id, ts, event_id, value FROM {table}
+       WHERE event_type = '{right_type}' AND ts IS NOT NULL AND user_id IS NOT NULL),
+r AS (SELECT user_id, ts, arg_max(event_id, event_id) AS event_id,
+             arg_max(value, event_id) AS value
+      FROM r0 GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS event_id_matched, r.value AS value_matched
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def interval_join_sql(
+    table: str = "events",
+    point_type: str = "error",
+    gap_us: int = 4 * 3600 * 1_000_000,
+) -> str:
+    """Mirror of operators/interval_join over session intervals: each
+    ``point_type`` event joined to the containing [start, end) session of
+    its user (sessions from session_stats_sql's gaps-and-islands)."""
+    return f"""
+WITH sess AS ({session_stats_sql(table, gap_us=gap_us)}),
+p AS (SELECT user_id, ts, event_id FROM {table}
+      WHERE event_type = '{point_type}' AND ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT p.user_id, p.event_id, p.ts, sess.session_start
+FROM p JOIN sess ON p.user_id = sess.user_id
+  AND p.ts >= sess.session_start AND p.ts < sess.session_end
+"""
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (
