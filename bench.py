@@ -67,6 +67,11 @@ def main() -> None:
         "revenue_by_nation",
         "publish_metrics_parquet",
         "multimodal_binary_dedup",
+        "sessionize_events",
+        "session_stats_events",
+        "asof_click_view",
+        "interval_join_sessions",
+        "profile_lineitem_observed",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

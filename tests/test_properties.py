@@ -1,0 +1,86 @@
+"""Property-based metric invariants (SURVEY.md §5.4).
+
+Hypothesis generates adversarial little tables (nulls, empties, dup-heavy,
+unicode); every profile must satisfy the metric algebra regardless of
+content:
+
+    Completeness ∈ [0,1]
+    Uniqueness <= UniqueValueRatio, both ∈ [0,1]
+    Distinctness ∈ (0,1] when any non-null value exists
+    0 <= Entropy <= ln(CountDistinct) (+ rounding slack)
+    MinLength <= MaxLength
+    Minimum <= Mean <= Maximum, StandardDeviation >= 0
+    Sum == mean * non-null count (6-dp decimal arithmetic)
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_profiler_for_aws_glue_data_catalog_spark import ProfilerConfig, profile_table
+
+_EXP = ProfilerConfig(compute_expensive=True)
+
+_text = st.one_of(st.none(), st.text(max_size=6))
+_num = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+)
+_rows = st.lists(st.tuples(_text, _num), min_size=0, max_size=25)
+
+
+def _profile(spark, rows):
+    df = spark.createDataFrame(rows, "s string, x double")
+    m = profile_table(df, _EXP, include_approx=False)
+    return {
+        (r["instance"], r["name"]): r["value"]
+        for r in m.collect()
+        if not r["name"].startswith("Histogram")
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_metric_invariants(spark, rows):
+    m = _profile(spark, rows)
+    n_rows = len(rows)
+    assert m[("*", "Size")] == float(n_rows)
+
+    texts = [s for s, _ in rows if s is not None]
+    nums = [x for _, x in rows if x is not None]
+
+    comp_s, comp_x = m[("s", "Completeness")], m[("x", "Completeness")]
+    if n_rows == 0:
+        assert comp_s is None and comp_x is None
+    else:
+        assert 0.0 <= comp_s <= 1.0 and 0.0 <= comp_x <= 1.0
+        assert comp_s == len(texts) / n_rows
+        assert comp_x == len(nums) / n_rows
+
+    if texts:
+        assert m[("s", "MinLength")] <= m[("s", "MaxLength")]
+        d, u, uvr = (
+            m[("s", "Distinctness")],
+            m[("s", "Uniqueness")],
+            m[("s", "UniqueValueRatio")],
+        )
+        cd, ent = m[("s", "CountDistinct")], m[("s", "Entropy")]
+        assert 0.0 < d <= 1.0
+        assert 0.0 <= u <= uvr <= 1.0
+        assert cd == float(len(set(texts)))
+        assert d == cd / len(texts)
+        assert -1e-9 <= ent <= math.log(cd) + 1e-6
+    if nums:
+        mn, mx, mean = m[("x", "Minimum")], m[("x", "Maximum")], m[("x", "Mean")]
+        sd, total = m[("x", "StandardDeviation")], m[("x", "Sum")]
+        assert mn <= mean <= mx or math.isclose(mn, mx)
+        assert sd >= 0.0
+        # exact 6-dp decimal arithmetic: Sum == Mean * count
+        assert math.isclose(total, mean * len(nums), rel_tol=0, abs_tol=1e-6)
