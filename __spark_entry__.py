@@ -399,6 +399,30 @@ def _interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_RATES = {"en": 0.1, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+
+
+def _sampling_queries():
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import sampling as SA
+
+    def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SA.deterministic_sample(_t(spark, sf_dir, "documents"), 0.25)
+
+    def split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SA.train_test_split(_t(spark, sf_dir, "documents"))
+
+    def stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SA.stratified_sample(
+            _t(spark, sf_dir, "documents"), STRATA_RATES
+        )
+
+    return {
+        "sample_documents": sample,
+        "split_documents": split,
+        "stratified_sample_documents": stratified,
+    }
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -469,6 +493,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _session_stats_events,
         "asof_click_view": _asof_events,
         "interval_join_sessions": _interval_join_events,
+        **_sampling_queries(),
     }
 
 
@@ -497,6 +522,9 @@ def _extension_oracles() -> dict[str, str]:
         "session_stats_events": OX.session_stats_sql(),
         "asof_click_view": OX.asof_join_sql(),
         "interval_join_sessions": OX.interval_join_sql(),
+        "sample_documents": OX.sample_sql(0.25),
+        "split_documents": OX.train_test_split_sql(),
+        "stratified_sample_documents": OX.stratified_sample_sql(STRATA_RATES),
     }
 
 

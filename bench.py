@@ -10,10 +10,13 @@ startup and OS page cache don't pollute query timings.
 
 The suite runs TWICE and the per-query minimum is reported: at sf0.1 these
 queries are seconds-scale, where host/scheduler noise on a shared machine
-dominates (the same query measured 5-15 s across runs with identical plans
-on an otherwise idle VM). The min of two runs estimates intrinsic plan cost;
-both passes clear the Spark cache first, so no run benefits from a warm
-cache the other lacks.
+dominates (the same query measured 2.4-34 s across runs with identical
+plans on an otherwise idle VM). The min of two runs estimates intrinsic
+plan cost; both passes clear the Spark cache first, so no run benefits
+from a warm cache the other lacks. Queries whose two measurements disagree
+by more than 2x get ONE tie-breaker pass — that's the signature of a host
+stall hitting one pass, and a third sample bounds the chance of recording
+a stall as the minimum.
 """
 
 from __future__ import annotations
@@ -89,21 +92,25 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR).values():
         df.count()
 
-    timings: dict[str, float] = {}
+    def run_one(name: str) -> float:
+        # queries are independent workloads: drop cached relations the
+        # previous operator materialized so timings don't include
+        # cross-query cache eviction/GC pressure
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.count() if df.columns else 0
+        return round(time.perf_counter() - t0, 3)
+
+    samples: dict[str, list[float]] = {}
     for _rep in range(2):
         for name in names:
-            if name not in qs:
-                continue
-            # queries are independent workloads: drop cached relations the
-            # previous operator materialized so timings don't include
-            # cross-query cache eviction/GC pressure
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            n = df.count() if df.columns else 0
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
-            _ = n
+            if name in qs:
+                samples.setdefault(name, []).append(run_one(name))
+    for name, s in samples.items():
+        if max(s) > 2 * min(s):  # one pass likely hit a host stall
+            s.append(run_one(name))
+    timings = {name: min(s) for name, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

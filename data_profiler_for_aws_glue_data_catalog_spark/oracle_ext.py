@@ -322,6 +322,62 @@ FROM p JOIN sess ON p.user_id = sess.user_id
 """
 
 
+def _bucket_sql(id_col: str, seed: int) -> str:
+    """Mirror of operators/sampling.hash_bucket: first 32 md5 bits of
+    'seed|id' as a bigint."""
+    return hex32_to_long_sql(
+        f"md5('{seed}|' || CAST({id_col} AS VARCHAR))"
+    )
+
+
+def _threshold(rate: float) -> int:
+    return int(rate * M32)
+
+
+def sample_sql(
+    rate: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {_bucket_sql(id_col, seed)} < {_threshold(rate)}"
+    )
+
+
+def train_test_split_sql(
+    test_rate: float = 0.2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    return f"""
+SELECT *, CASE WHEN {_bucket_sql(id_col, seed)} < {_threshold(test_rate)}
+  THEN 'test' ELSE 'train' END AS split
+FROM {table}
+"""
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    table: str = "documents",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> str:
+    thr = str(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = (
+            f"CASE WHEN {strata_col} = '{value}' "
+            f"THEN {_threshold(rate)} ELSE {thr} END"
+        )
+    return (
+        f"SELECT * FROM {table} WHERE {_bucket_sql(id_col, seed)} < ({thr})"
+    )
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (

@@ -1,0 +1,57 @@
+"""Deterministic sampling: stability under repartition, rate accuracy,
+split consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def test_sample_invariant_under_partitioning(spark, documents):
+    a = {r["doc_id"] for r in deterministic_sample(documents, 0.3).collect()}
+    shuffled = documents.repartition(17, "lang")
+    b = {r["doc_id"] for r in deterministic_sample(shuffled, 0.3).collect()}
+    assert a == b
+    # and stable across invocations
+    c = {r["doc_id"] for r in deterministic_sample(documents, 0.3).collect()}
+    assert a == c
+
+
+def test_sample_rate_accuracy(spark, documents):
+    n = documents.count()
+    got = deterministic_sample(documents, 0.3).count()
+    assert abs(got / n - 0.3) < 0.1
+
+
+def test_sample_nested_rates(spark, documents):
+    """A lower-rate sample with the same seed is a subset of a higher-rate
+    one (threshold semantics, not independent draws)."""
+    lo = {r["doc_id"] for r in deterministic_sample(documents, 0.1).collect()}
+    hi = {r["doc_id"] for r in deterministic_sample(documents, 0.4).collect()}
+    assert lo <= hi
+
+
+def test_split_is_partition(spark, documents):
+    out = train_test_split(documents, 0.2)
+    n = documents.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == n
+    # test side == the same-seed sample at the same rate
+    test_ids = {r["doc_id"] for r in out.where(F.col("split") == "test").collect()}
+    sample_ids = {r["doc_id"] for r in deterministic_sample(documents, 0.2).collect()}
+    assert test_ids == sample_ids
+
+
+def test_stratified_rates(spark, documents):
+    out = stratified_sample(documents, {"en": 0.0, "de": 1.0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs            # rate 0 drops the stratum
+    n_de = documents.where(F.col("lang") == "de").count()
+    assert out.where(F.col("lang") == "de").count() == n_de  # rate 1 keeps all
+    # unlisted strata fall back to default_rate=0
+    assert langs <= {"de"}
