@@ -423,6 +423,18 @@ def _sampling_queries():
     }
 
 
+def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vocabulary import token_topk
+
+    return token_topk(_t(spark, sf_dir, "documents"))
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -494,6 +506,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view": _asof_events,
         "interval_join_sessions": _interval_join_events,
         **_sampling_queries(),
+        "chunk_documents": _chunk_documents,
+        "token_topk": _token_topk,
     }
 
 
@@ -525,6 +539,8 @@ def _extension_oracles() -> dict[str, str]:
         "sample_documents": OX.sample_sql(0.25),
         "split_documents": OX.train_test_split_sql(),
         "stratified_sample_documents": OX.stratified_sample_sql(STRATA_RATES),
+        "chunk_documents": OX.chunk_documents_sql(),
+        "token_topk": OX.token_topk_sql(),
     }
 
 

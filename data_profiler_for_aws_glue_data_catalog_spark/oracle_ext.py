@@ -378,6 +378,53 @@ def stratified_sample_sql(
     )
 
 
+def chunk_documents_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of operators/chunking.chunk_documents: same tokenizer, same
+    start-position arithmetic, same slicing (DuckDB list slices are
+    1-based inclusive like Spark's slice(start, length) window)."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {toks_sql(text_col)} AS toks FROM {table}),
+s AS (
+  SELECT id, toks,
+         unnest(range(1, greatest(len(toks), 0) + 1, {step})) AS start
+  FROM d)
+SELECT id,
+  CAST((start - 1) / {step} AS INT) AS chunk_seq,
+  CAST(len(toks[start : start + {chunk_tokens} - 1]) AS INT) AS n_tokens,
+  array_to_string(toks[start : start + {chunk_tokens} - 1], ' ') AS chunk_text
+FROM s
+"""
+
+
+def token_topk_sql(
+    k: int = 100,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of operators/vocabulary.token_topk (same tokenizer, same
+    (occurrences DESC, token ASC) tie-break)."""
+    return f"""
+WITH pairs AS (
+  SELECT id, token, COUNT(*) AS cnt FROM (
+    SELECT {id_col} AS id, unnest({toks_sql(text_col)}) AS token FROM {table})
+  GROUP BY id, token),
+vocab AS (
+  SELECT token, SUM(cnt) AS occurrences, COUNT(*) AS doc_freq
+  FROM pairs GROUP BY token)
+SELECT token, occurrences, doc_freq,
+  CAST(row_number() OVER (ORDER BY occurrences DESC, token ASC) AS INT) AS rank
+FROM vocab ORDER BY occurrences DESC, token ASC LIMIT {k}
+"""
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (
