@@ -66,7 +66,7 @@ def asof_join(
         F.lit(0).alias("_tag"),
         F.col(order_col).alias("_ord"),
         payload.alias("_payload"),
-        F.lit(None).cast("bigint").alias("_lid"),
+        F.lit(None).cast(left.schema[left_id].dataType).alias("_lid"),
     )
     l = left.where(F.col(on).isNotNull() & F.col(by).isNotNull()).select(
         F.col(by),
