@@ -429,6 +429,12 @@ def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_topk(_t(spark, sf_dir, "documents"))
 
 
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators.chunking import chunk_documents
 
@@ -508,6 +514,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_sampling_queries(),
         "chunk_documents": _chunk_documents,
         "token_topk": _token_topk,
+        "clean_corpus": _clean_corpus,
     }
 
 
@@ -541,6 +548,7 @@ def _extension_oracles() -> dict[str, str]:
         "stratified_sample_documents": OX.stratified_sample_sql(STRATA_RATES),
         "chunk_documents": OX.chunk_documents_sql(),
         "token_topk": OX.token_topk_sql(),
+        "clean_corpus": OX.clean_corpus_sql(),
     }
 
 

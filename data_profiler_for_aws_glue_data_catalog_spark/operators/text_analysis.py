@@ -78,31 +78,36 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language identification.
-
-    Emits per-language hit counts and ``lang_pred`` = argmax hits with
-    deterministic tie-break (LANGS order); 'und' when no stopword hits at
-    all. A fixed threshold-free heuristic — the point is the *plumbing*
-    (real lang-ID swaps in a bigger table or model, same shape).
-    """
-    t = docs.withColumn("_toks", X.tokens(F.col(text_col)))
-    hits = {lang: _stop_hits(F.col("_toks"), lang) for lang in LANGS}
-    # argmax with fixed precedence: lang L wins iff its count beats every
-    # earlier lang strictly-greater-or-equal logic reduced to: pick first
-    # lang whose count equals the row max and max > 0.
+def lang_pred_column(toks: Column) -> Column:
+    """``lang_pred``: argmax stopword hits with deterministic tie-break
+    (LANGS order); 'und' when no stopword hits at all."""
+    hits = {lang: _stop_hits(toks, lang) for lang in LANGS}
+    # argmax with fixed precedence: pick the first lang whose count equals
+    # the row max and max > 0.
     mx = F.greatest(*hits.values())
     pred = F.lit("und")
     for lang in reversed(LANGS):
         pred = F.when((mx > 0) & (hits[lang] == mx), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language identification.
+
+    Emits per-language hit counts and ``lang_pred`` (lang_pred_column).
+    A fixed threshold-free heuristic — the point is the *plumbing*
+    (real lang-ID swaps in a bigger table or model, same shape).
+    """
+    t = docs.withColumn("_toks", X.tokens(F.col(text_col)))
+    hits = {lang: _stop_hits(F.col("_toks"), lang) for lang in LANGS}
     cols = [F.col(id_col)]
     cols += [hits[lang].alias(f"hits_{lang}") for lang in LANGS]
-    cols.append(pred.alias("lang_pred"))
+    cols.append(lang_pred_column(F.col("_toks")).alias("lang_pred"))
     return t.select(*cols)
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality in [0, 1].
+def quality_columns(text: Column, toks: Column) -> dict[str, Column]:
+    """The quality sub-scores, un-rounded, as named expressions.
 
     quality = 0.4 * min(n_chars/500, 1)            (length)
             + 0.4 * min(5 * stop_ratio, 1)         (stopword density, en)
@@ -110,13 +115,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     computed in exact integer counts first, one fixed double expression at
     the end (same shape as the oracle -> bit-comparable after ROUND 6).
     """
-    t = docs.withColumn("_toks", X.tokens(F.col(text_col)))
-    n_chars = F.length(F.col(text_col)).cast("double")
-    n_tokens = F.size(F.col("_toks"))
-    stop_hits = _stop_hits(F.col("_toks"), "en")
-    digits = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[0-9]"), 0)
-    )
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks)
+    stop_hits = _stop_hits(toks, "en")
+    digits = F.size(F.regexp_extract_all(F.lower(text), F.lit("[0-9]"), 0))
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     stop_ratio = F.coalesce(
         F.try_divide(stop_hits.cast("double"), n_tokens.cast("double")), F.lit(0.0)
@@ -128,12 +130,21 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     quality = (
         F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
     )
+    return {
+        "len_score": len_score,
+        "stop_score": stop_score,
+        "digit_ratio": digit_ratio,
+        "quality": quality,
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0, 1] (see quality_columns)."""
+    t = docs.withColumn("_toks", X.tokens(F.col(text_col)))
+    cols = quality_columns(F.col(text_col), F.col("_toks"))
     return t.select(
         F.col(id_col),
-        X.round6(len_score).alias("len_score"),
-        X.round6(stop_score).alias("stop_score"),
-        X.round6(digit_ratio).alias("digit_ratio"),
-        X.round6(quality).alias("quality"),
+        *[X.round6(c).alias(name) for name, c in cols.items()],
     )
 
 

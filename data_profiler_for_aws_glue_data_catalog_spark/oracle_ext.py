@@ -425,6 +425,34 @@ FROM vocab ORDER BY occurrences DESC, token ASC LIMIT {k}
 """
 
 
+def clean_corpus_sql(
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of operators/corpus.clean_corpus: the quality/lang/hash
+    expressions come from the same builders the standalone oracles use
+    (quality_score_sql / language_id_sql shapes), composed with the
+    filter-then-dedup window."""
+    langs_sql = ", ".join(f"'{l}'" for l in langs)
+    return f"""
+WITH q AS ({quality_score_sql(table, text_col, id_col)}),
+l AS ({language_id_sql(table, text_col, id_col)}),
+h AS (SELECT {id_col} AS id, md5({norm_sql(text_col)}) AS content_md5 FROM {table}),
+s AS (
+  SELECT h.id, l.lang_pred, q.quality, h.content_md5
+  FROM h
+  JOIN q ON q.{id_col} = h.id
+  JOIN l ON l.{id_col} = h.id
+  WHERE q.quality >= {min_quality} AND l.lang_pred IN ({langs_sql}))
+SELECT id, lang_pred, quality, content_md5 FROM (
+  SELECT *, MIN(id) OVER (PARTITION BY content_md5) AS keeper FROM s)
+WHERE id = keeper
+"""
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (
