@@ -52,12 +52,16 @@ from data_profiler_for_aws_glue_data_catalog_spark.config import ProfilerConfig
 from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import (
     METRIC_COLS,
     metric_struct,
+    sql_ident,
 )
 
 
 def frequency_table(df: DataFrame, column: str) -> DataFrame:
-    """(value, cnt) — raw column values incl. a null group."""
-    return df.groupBy(F.col(column).alias("value")).agg(
+    """(value, cnt) — raw column values incl. a null group.
+
+    sql_ident: names with backticks/dots must not be parsed as multi-part
+    attribute references."""
+    return df.groupBy(F.col(sql_ident(column)).alias("value")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
 

@@ -67,10 +67,14 @@ def cast_convertibles(df: DataFrame, config: ProfilerConfig) -> DataFrame:
     plan flat. Timestamps are rendered in a session-timezone-independent
     format only when profiled.
     """
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_ident
+
     out = []
     for f in df.schema.fields:
+        # sql_ident: a raw name with a backtick/dot would otherwise be
+        # PARSED as a (broken) multi-part attribute reference by F.col
         if classify(f.dataType, config) == CONVERT:
-            out.append(F.col(f.name).cast("string").alias(f.name))
+            out.append(F.col(sql_ident(f.name)).cast("string").alias(f.name))
         else:
-            out.append(F.col(f.name))
+            out.append(F.col(sql_ident(f.name)))
     return df.select(*out)

@@ -77,7 +77,7 @@ def _windowed_aggs(
         if kind is None:
             continue
         c, typ = f.name, f.dataType.simpleString()
-        col = F.col(c)
+        col = F.col(sql_ident(c))  # backtick/dot-safe reference
         add(
             F.try_divide(F.count(col), F.count(F.lit(1))),
             "Column", c, "Completeness", typ,

@@ -168,3 +168,36 @@ def test_wide_table_batching(spark):
     assert m[("c0", "Sum")] == 45.0
     assert m[("c149", "Sum")] == 45.0
     assert m[("*", "Size")] == 10.0
+
+
+def test_adversarial_column_names(spark):
+    """Quotes, backticks, spaces, dots and unicode in column names must
+    flow through the SQL-string expression builders unharmed (sql_ident
+    escaping), for scan AND frequency metrics."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    names = ["it's", "back`tick", "with space", "dotted.name", "日本語"]
+    schema = StructType(
+        [StructField(names[0], LongType())]
+        + [StructField(n, StringType()) for n in names[1:]]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "b", "c", "d"), (2, "a", "y", "z", "w")], schema
+    )
+    m = metrics_dict(
+        scan_metrics_long(df, ProfilerConfig(compute_expensive=True)).collect()
+    )
+    assert m[("*", "Size")] == 2.0
+    assert m[(names[0], "Sum")] == 3.0
+    for n in names[1:]:
+        assert m[(n, "Completeness")] == 1.0
+        assert m[(n, "MaxLength")] == 1.0
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.frequency_metrics import (
+        frequency_metrics_long,
+    )
+
+    fm = metrics_dict(
+        frequency_metrics_long(df, names[1], "string", ProfilerConfig()).collect()
+    )
+    assert fm[(names[1], "CountDistinct")] == 1.0
