@@ -429,6 +429,12 @@ def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_topk(_t(spark, sf_dir, "documents"))
 
 
+def _tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.tfidf import tfidf
+
+    return tfidf(_t(spark, sf_dir, "documents"))
+
+
 def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators.corpus import clean_corpus
 
@@ -515,6 +521,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "token_topk": _token_topk,
         "clean_corpus": _clean_corpus,
+        "tfidf_documents": _tfidf_documents,
     }
 
 
@@ -549,6 +556,7 @@ def _extension_oracles() -> dict[str, str]:
         "chunk_documents": OX.chunk_documents_sql(),
         "token_topk": OX.token_topk_sql(),
         "clean_corpus": OX.clean_corpus_sql(),
+        "tfidf_documents": OX.tfidf_sql(),
     }
 
 

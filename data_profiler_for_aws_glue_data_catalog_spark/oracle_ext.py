@@ -453,6 +453,32 @@ WHERE id = keeper
 """
 
 
+def tfidf_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+) -> str:
+    """Mirror of operators/tfidf.tfidf: same tokenizer, exact integer
+    tf/df, same fixed double expression ROUND6'd (ln is libm — the
+    Entropy 6-dp precedent)."""
+    df_filter = (
+        f"HAVING COUNT(*) >= {min_doc_freq}" if min_doc_freq > 1 else ""
+    )
+    return f"""
+WITH pairs AS (
+  SELECT id, token, COUNT(*) AS tf FROM (
+    SELECT {id_col} AS id, unnest({toks_sql(text_col)}) AS token FROM {table})
+  GROUP BY id, token),
+dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM pairs GROUP BY token {df_filter}),
+n AS (SELECT COUNT(*) AS _n FROM {table})
+SELECT pairs.id, pairs.token, pairs.tf, dfreq.doc_freq,
+  {round6_sql("CAST(pairs.tf AS DOUBLE) * ln(CAST(n._n AS DOUBLE) / dfreq.doc_freq)")} AS tfidf
+FROM pairs JOIN dfreq USING (token) CROSS JOIN n
+"""
+
+
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (

@@ -59,3 +59,25 @@ def test_token_topk_ranks_and_ties(spark):
     got = [(r["token"], r["occurrences"], r["doc_freq"], r["rank"]) for r in rows]
     # a and b tie at 3 occurrences -> token ASC breaks the tie
     assert got == [("a", 3, 2, 1), ("b", 3, 2, 2), ("c", 1, 1, 3)]
+
+
+def test_tfidf_values(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.tfidf import tfidf
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["id"], r["token"]): (r["tf"], r["doc_freq"], r["tfidf"])
+        for r in tfidf(docs).collect()
+    }
+    # token a: df=2, N=3; doc 1 tf=2
+    assert got[(1, "a")][0] == 2 and got[(1, "a")][1] == 2
+    assert abs(got[(1, "a")][2] - round(2 * math.log(3 / 2), 6)) < 1e-9
+    # token b: df=1 -> idf=ln(3)
+    assert abs(got[(1, "b")][2] - round(math.log(3.0), 6)) < 1e-9
+    # min_doc_freq=2 drops hapaxes b
+    pruned = tfidf(docs, min_doc_freq=2)
+    assert {r["token"] for r in pruned.collect()} == {"a", "c"}
