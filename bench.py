@@ -78,6 +78,11 @@ def main() -> None:
         "asof_click_view",
         "interval_join_sessions",
         "profile_lineitem_observed",
+        "sample_documents",
+        "chunk_documents",
+        "token_topk",
+        "clean_corpus",
+        "tfidf_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
