@@ -429,6 +429,12 @@ def _token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_topk(_t(spark, sf_dir, "documents"))
 
 
+def _kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.kmeans import kmeans_step
+
+    return kmeans_step(_t(spark, sf_dir, "embeddings"))
+
+
 def _tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators.tfidf import tfidf
 
@@ -511,6 +517,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
+        "kmeans_step": _kmeans_step,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_occurrence_index": _stream_occurrence_index,
         "sessionize_events": _sessionize_events,
@@ -544,6 +551,7 @@ def _extension_oracles() -> dict[str, str]:
         "dedup_embedding_exact": OX.embedding_near_duplicates_sql(n_cells=None),
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
+        "kmeans_step": OX.kmeans_step_sql(),
         "stream_dedup_exact": OX.stream_dedup_exact_sql(),
         "stream_occurrence_index": OX.stream_occurrence_index_sql(),
         "sessionize_events": OX.sessionize_sql(),

@@ -1,0 +1,78 @@
+"""K-means (Lloyd) iteration over embedding columns.
+
+similarity.py's IVF quantizer uses deterministic seed centroids and notes
+"swap in k-means centroids at scale — the plan shape is unchanged". This
+module provides that training step as a DataFrame computation:
+
+  assign  : map-side nearest-centroid argmax over broadcast literal
+            centroids (similarity.assign_cells — zero exchanges);
+  update  : new centroid c = element-wise mean of its members, computed by
+            posexploding vectors and aggregating per (cell, dimension) —
+            ONE shuffle keyed (cell, dim), with map-side partial sums.
+
+Iterating = calling ``kmeans_step`` in a driver loop, collecting the tiny
+(n_cells x dim) centroid relation between rounds — the standard structure
+of iterative ML on Spark (centroids are driver-size by definition; the
+data-size work stays distributed and shuffle-minimal).
+
+Determinism contract: member sums accumulate in decimal over ROUND6'd
+inputs (the scan_metrics policy), so the updated centroids are
+partition-order invariant and the DuckDB oracle reproduces them bit-for-bit
+— which also makes multi-round trajectories reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
+from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import with_norm
+from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import (
+    assign_cells,
+    collect_centroids,
+)
+from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import ensure_parallelism
+
+_SUM_DEC = "decimal(27,6)"
+
+
+def kmeans_step(
+    embs: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """One Lloyd iteration: assign to ``centroids`` (default: the
+    deterministic smallest-id seeds), return the updated centroids as
+    (cell, dim, value, n_members) — the long form a driver loop collects
+    and feeds back, and the form an exact SQL oracle can check.
+
+    Empty cells vanish from the output (standard Lloyd: a centroid with
+    no members has no mean; callers re-seed or drop the cell).
+    """
+    e = ensure_parallelism(
+        with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    )
+    cents = centroids if centroids is not None else collect_centroids(e, n_cells)
+    assigned = assign_cells(e, cents)
+    by_dim = assigned.select(
+        "cell", F.posexplode("_v").alias("dim", "x")
+    )
+    # same decimal-accumulation mirror pair as scan_metrics: Spark
+    # try_cast(x AS decimal) == DuckDB CAST(x AS DECIMAL), floor-based ROUND6
+    dec_sum = F.expr(f"cast(sum(try_cast(x AS {_SUM_DEC})) AS double)")
+    return (
+        by_dim.groupBy("cell", "dim")
+        .agg(
+            (dec_sum / F.count(F.lit(1))).alias("_mean"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cell",
+            "dim",
+            X.round6(F.col("_mean")).alias("value"),
+            "n_members",
+        )
+    )

@@ -623,6 +623,27 @@ assigned AS (
 )"""
 
 
+def kmeans_step_sql(
+    n_cells: int = 16,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Mirror of operators/kmeans.kmeans_step: same assignment CTEs, then
+    per-(cell, dimension) decimal-accumulated means, floor-ROUND6."""
+    mean = "CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+{_assigned_cells_sql(n_cells)},
+by_dim AS (
+  SELECT cell, CAST(u.i - 1 AS INT) AS dim, u.x
+  FROM assigned, LATERAL (
+    SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x) u)
+SELECT cell, dim, {round6_sql(mean)} AS value, COUNT(*) AS n_members
+FROM by_dim GROUP BY cell, dim
+"""
+
+
 def embedding_near_duplicates_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",
