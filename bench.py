@@ -83,6 +83,7 @@ def main() -> None:
         "token_topk",
         "clean_corpus",
         "tfidf_documents",
+        "kmeans_step",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
