@@ -78,14 +78,34 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
-    return df
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Coerce TIMESTAMP_NTZ columns to TimestampType (session tz).
+
+    Parquet written with isAdjustedToUTC=false infers as NTZ in Spark 4;
+    the engine's time operators (windows, as-of, epoch bucketing via
+    unix_micros) take TimestampType. Under a UTC session (the engine's
+    documented requirement for cross-engine determinism) the cast is a
+    pure re-tag — same micros value DuckDB reads from the same file.
+    """
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def read_table(

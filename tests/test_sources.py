@@ -42,10 +42,37 @@ def test_read_table_infers_format_from_extension(spark, tmp_path):
     assert back.orderBy("id").collect() == df.orderBy("id").collect()
 
 
-def test_nanos_timestamps_restored(spark):
-    """events.parquet carries TIMESTAMP(NANOS); the source layer must hand
-    back real TimestampType columns."""
+def test_events_timestamps_readable(spark):
+    """events.parquet must come back with a usable timestamp column
+    (TIMESTAMP or TIMESTAMP_NTZ depending on the writer's UTC flag)."""
     ev = read_table(spark, f"{SF_SMOKE}/events.parquet")
-    ts_fields = [f for f in ev.schema.fields if f.dataType.typeName() == "timestamp"]
+    ts_fields = [
+        f
+        for f in ev.schema.fields
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+    ]
     assert ts_fields, "no timestamp column restored"
     assert ev.where(F.col(ts_fields[0].name).isNotNull()).count() > 0
+
+
+def test_nanos_timestamps_restored(spark, tmp_path):
+    """A parquet file with TIMESTAMP(NANOS) — unreadable by a plain Spark 4
+    scan — must come back as TimestampType with nanos truncated to micros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nanos.parquet")
+    ts = pa.array([1_700_000_000_123_456_789, 1_700_000_001_000_000_001],
+                  type=pa.timestamp("ns"))
+    pq.write_table(pa.table({"id": pa.array([1, 2]), "ts": ts}), path)
+
+    back = read_table(spark, path)
+    (ts_field,) = [f for f in back.schema.fields if f.name == "ts"]
+    assert ts_field.dataType.typeName() == "timestamp"
+    micros = [
+        r[0]
+        for r in back.orderBy("id")
+        .select(F.unix_micros(F.col("ts")))
+        .collect()
+    ]
+    assert micros == [1_700_000_000_123_456, 1_700_000_001_000_000]
