@@ -453,6 +453,50 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_t(spark, sf_dir, "documents"))
 
 
+def _verify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite verification (Deequ VerificationSuite analog):
+    one fused aggregation evaluates every constraint over orders."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import constraints as C
+
+    return C.verify(_t(spark, sf_dir, "orders"), C.default_orders_suite())
+
+
+def _suggest_constraints_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion from the customer profile's metrics relation."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import constraints as C
+
+    m = profile_table(
+        _t(spark, sf_dir, "customer"), ProfilerConfig(), include_approx=False
+    )
+    return C.suggest_constraints(m)
+
+
+def _metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection over a deterministic 3-run metric history: the
+    nation profile is replayed at 3 run timestamps with even-length metric
+    names jumping on the last run (the sink read-back shape, built
+    in-query so the oracle reproduces it exactly)."""
+    from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import anomaly as AN
+
+    m = profile_table(
+        _t(spark, sf_dir, "nation"), ProfilerConfig(), include_approx=False
+    ).select("entity", "instance", "name", "value")
+    runs = None
+    for i, ts in enumerate(OX.ANOMALY_RUN_TS, start=1):
+        factor = OX.anomaly_history_factor(i)
+        r = m.selectExpr(
+            "entity",
+            "instance",
+            "name",
+            f"value * (CASE WHEN pmod(length(name), 2) = 0 THEN {factor!r}D "
+            f"ELSE 1.0D END) AS value",
+            f"timestamp'{ts}' AS profiler_run_ts",
+        )
+        runs = r if runs is None else runs.unionByName(r)
+    return AN.detect_anomalies(runs)
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -529,11 +573,15 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _token_topk,
         "clean_corpus": _clean_corpus,
         "tfidf_documents": _tfidf_documents,
+        "verify_orders": _verify_orders,
+        "suggest_constraints_customer": _suggest_constraints_customer,
+        "metric_anomalies": _metric_anomalies,
     }
 
 
 def _extension_oracles() -> dict[str, str]:
     from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import constraints as C
 
     return {
         "multimodal_binary_profile": OX.binary_profile_sql(dup_n=DUP_N),
@@ -565,6 +613,13 @@ def _extension_oracles() -> dict[str, str]:
         "token_topk": OX.token_topk_sql(),
         "clean_corpus": OX.clean_corpus_sql(),
         "tfidf_documents": OX.tfidf_sql(),
+        "verify_orders": C.verification_sql("orders", C.default_orders_suite()),
+        "suggest_constraints_customer": C.suggestion_sql(
+            O.profile_table_sql("customer", expensive=False)
+        ),
+        "metric_anomalies": OX.metric_anomalies_sql(
+            O.profile_table_sql("nation", expensive=False)
+        ),
     }
 
 

@@ -1,0 +1,120 @@
+"""Equi-width numeric histograms — an extension past the reference surface.
+
+The reference's only distribution view is Deequ's value-frequency
+Histogram on TEXT columns (top-k discrete values,
+DataProfilerForAWSGlueDataCatalog.scala:325); numeric columns get no
+distribution at all. This operator adds classic equi-width binning for
+every numeric column of a table in two fused passes.
+
+Execution shape (100 TB notes)
+------------------------------
+- Pass 1: ONE fused agg computes (min, max, non-null count) for all
+  requested columns (the scan_metrics pattern). The 1-row result is
+  broadcast back via a cross join — NOT collected — so the whole plan
+  stays lazy and the bucket arithmetic is one fixed SQL expression the
+  oracle mirrors bit-for-bit.
+- Pass 2: one projection explodes each row into (column, bucket) structs
+  and a single groupBy aggregates them. The explode multiplies rows by
+  n_columns but partial (map-side) aggregation collapses each task's
+  output to at most columns x bins rows BEFORE the exchange — the
+  shuffle is tiny regardless of data size, and there is exactly one.
+- Empty buckets are absent from the output (sparse representation).
+
+Determinism: bucket = least(floor((v - min)/width), bins-1) with
+width = (max - min)/bins — single-rooted IEEE double expressions are
+bit-identical across engines; bounds are emitted 6-dp floor-rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+HISTOGRAM_COLS = ["instance", "bucket", "lo", "hi", "cnt", "ratio"]
+
+
+def numeric_histograms(
+    df: DataFrame, columns: list[str], n_bins: int = 10
+) -> DataFrame:
+    """Sparse equi-width histogram rows for each numeric column.
+
+    Output: (instance, bucket 0..n_bins-1, lo, hi, cnt, ratio) — ratio is
+    against the column's non-null count; a constant column collapses into
+    bucket 0 with lo == hi == the value.
+    """
+    if not columns:
+        raise ValueError("numeric_histograms: no columns")
+    stats = df.selectExpr(
+        *[
+            e
+            for c in columns
+            for e in (
+                f"cast(min({c}) AS double) AS mn_{c}",
+                f"cast(max({c}) AS double) AS mx_{c}",
+                f"cast(count({c}) AS double) AS n_{c}",
+            )
+        ]
+    )
+    structs = []
+    for c in columns:
+        v = f"cast({c} AS double)"
+        w = f"((mx_{c} - mn_{c}) / {float(n_bins)!r}D)"
+        bucket = (
+            f"CASE WHEN mx_{c} = mn_{c} THEN 0L "
+            f"ELSE cast(least(floor(({v} - mn_{c}) / {w}), "
+            f"{n_bins - 1}L) AS bigint) END"
+        )
+        structs.append(
+            f"CASE WHEN {c} IS NOT NULL THEN named_struct("
+            f"'instance', '{c}', 'bucket', {bucket}, "
+            f"'mn', mn_{c}, 'w', {w}, 'n', n_{c}) END"
+        )
+    pairs = df.crossJoin(F.broadcast(stats)).selectExpr(
+        f"inline(filter(array({', '.join(structs)}), s -> s IS NOT NULL))"
+    )
+    out = pairs.groupBy("instance", "bucket", "mn", "w", "n").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lo = "mn + cast(bucket AS double) * w"
+    hi = "mn + cast(bucket + 1 AS double) * w"
+    return out.selectExpr(
+        "instance",
+        "bucket",
+        f"cast({ROUND6.format(x=lo)} AS double) AS lo",
+        f"cast({ROUND6.format(x=hi)} AS double) AS hi",
+        "cnt",
+        f"cast(try_divide(cnt, n) AS double) AS ratio",
+    ).select(*HISTOGRAM_COLS)
+
+
+def numeric_histogram_sql(table: str, columns: list[str], n_bins: int = 10) -> str:
+    """DuckDB mirror: per-column stats CTE + identical bucket arithmetic."""
+    parts = []
+    for c in columns:
+        v = f"CAST({c} AS DOUBLE)"
+        w = f"((mx - mn) / {float(n_bins)!r})"
+        bucket = (
+            f"CASE WHEN mx = mn THEN 0 "
+            f"ELSE CAST(LEAST(FLOOR(({v} - mn) / {w}), {n_bins - 1}) AS BIGINT) END"
+        )
+        lo = "mn + CAST(bucket AS DOUBLE) * w"
+        hi = "mn + CAST(bucket + 1 AS DOUBLE) * w"
+        parts.append(f"""
+SELECT instance, bucket,
+  CAST({ROUND6.format(x=lo)} AS DOUBLE) AS lo,
+  CAST({ROUND6.format(x=hi)} AS DOUBLE) AS hi,
+  cnt,
+  CAST(cnt / NULLIF(n, 0.0) AS DOUBLE) AS ratio
+FROM (
+  SELECT '{c}' AS instance, {bucket} AS bucket, ANY_VALUE(mn) AS mn,
+         ANY_VALUE((mx - mn) / {float(n_bins)!r}) AS w,
+         ANY_VALUE(n) AS n, COUNT(*) AS cnt
+  FROM {table}, (SELECT CAST(MIN({c}) AS DOUBLE) AS mn,
+                        CAST(MAX({c}) AS DOUBLE) AS mx,
+                        CAST(COUNT({c}) AS DOUBLE) AS n FROM {table}) s
+  WHERE {c} IS NOT NULL
+  GROUP BY 1, 2)
+""")
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)

@@ -841,3 +841,78 @@ SELECT id,
        CAST({nb} AS BIGINT) AS n_bytes
 FROM fx
 """
+
+
+# --- metric-history anomaly detection (operators/anomaly.py) ------------
+
+ANOMALY_RUN_TS = (
+    "2026-01-01 00:00:00",
+    "2026-01-02 00:00:00",
+    "2026-01-03 00:00:00",
+)
+
+
+def anomaly_history_factor(i: int) -> float:
+    """Run i's perturbation factor for even-length metric names: runs walk
+    1.0, 1.5, 3.0 so even-name metrics jump on the last run (anomaly) while
+    odd-name metrics stay constant (zero-variance, no anomaly)."""
+    return 1.0 + 0.5 * (i - 1) * (i - 1)
+
+
+def metric_anomalies_sql(
+    profile_sql: str,
+    z_threshold: float = 3.0,
+    min_runs: int = 2,
+) -> str:
+    """Mirror of anomaly.detect_anomalies over the deterministic 3-run
+    history built from a profile relation (same perturbation rule, same
+    6-dp rounding, same decimal accumulation and finishing shapes)."""
+    runs = "\nUNION ALL\n".join(
+        f"SELECT entity, instance, name, "
+        f"value * (CASE WHEN length(name) % 2 = 0 THEN {anomaly_history_factor(i)!r} "
+        f"ELSE 1.0 END) AS value, TIMESTAMP '{ts}' AS ts FROM p"
+        for i, ts in enumerate(ANOMALY_RUN_TS, start=1)
+    )
+    v6 = round6_sql("CAST(value AS DOUBLE)")
+    base = "ts < mx"
+    in_dom = f"COALESCE(MAX(ABS(v)) FILTER (WHERE {base}) < 1e12, FALSE)"
+    s_dec = f"CAST(SUM(CAST(v AS DECIMAL(27,6))) FILTER (WHERE {base}) AS DOUBLE)"
+    s2_dec = (
+        f"CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) "
+        f"FILTER (WHERE {base}) AS DOUBLE)"
+    )
+    mean_b = "(_s / NULLIF(_nb, 0.0))"
+    var_b = f"(_s2 / NULLIF(_nb, 0.0)) - {mean_b} * {mean_b}"
+    sd_b = f"SQRT(GREATEST({var_b}, 0.0))"
+    z = (
+        f"CASE WHEN _minb = _maxb THEN NULL "
+        f"ELSE (current - {mean_b}) / NULLIF({sd_b}, 0.0) END"
+    )
+    anomaly = (
+        f"_nb >= {min_runs} AND ("
+        f"COALESCE(ABS({z}) > {z_threshold!r}, FALSE) "
+        f"OR (_minb = _maxb AND current <> _minb))"
+    )
+    return f"""
+WITH p AS ({profile_sql}),
+runs AS ({runs}),
+r6 AS (SELECT entity, instance, name, {v6} AS v, ts FROM runs),
+w AS (SELECT *, MAX(ts) OVER (PARTITION BY entity, instance, name) AS mx FROM r6),
+a AS (
+  SELECT entity, instance, name,
+    arg_max(v, ts) AS current,
+    CAST(COUNT(v) AS DOUBLE) AS _n,
+    CAST(COUNT(v) FILTER (WHERE {base}) AS DOUBLE) AS _nb,
+    MIN(v) FILTER (WHERE {base}) AS _minb,
+    MAX(v) FILTER (WHERE {base}) AS _maxb,
+    CASE WHEN {in_dom} THEN {s_dec} ELSE SUM(v) FILTER (WHERE {base}) END AS _s,
+    CASE WHEN {in_dom} THEN {s2_dec} ELSE SUM(v * v) FILTER (WHERE {base}) END AS _s2
+  FROM w GROUP BY entity, instance, name)
+SELECT instance, name,
+  CAST(_n AS BIGINT) AS n_runs,
+  current,
+  CAST({round6_sql(mean_b)} AS DOUBLE) AS baseline_mean,
+  CAST({round6_sql(z)} AS DOUBLE) AS z,
+  COALESCE({anomaly}, FALSE) AS is_anomaly
+FROM a
+"""
