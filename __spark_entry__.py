@@ -497,6 +497,19 @@ def _metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.detect_anomalies(runs)
 
 
+NUMERIC_HIST_COLS = [
+    c for c, kind, _ in O.TABLE_COLUMNS["lineitem"] if kind == O.NUM
+]
+
+
+def _numeric_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histograms for every numeric lineitem column: one fused
+    min/max pass broadcast into one bucket-count pass."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import numeric_histogram as NH
+
+    return NH.numeric_histograms(_t(spark, sf_dir, "lineitem"), NUMERIC_HIST_COLS)
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -576,12 +589,14 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_orders": _verify_orders,
         "suggest_constraints_customer": _suggest_constraints_customer,
         "metric_anomalies": _metric_anomalies,
+        "numeric_histogram_lineitem": _numeric_histogram_lineitem,
     }
 
 
 def _extension_oracles() -> dict[str, str]:
     from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
     from data_profiler_for_aws_glue_data_catalog_spark.operators import constraints as C
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import numeric_histogram as NH
 
     return {
         "multimodal_binary_profile": OX.binary_profile_sql(dup_n=DUP_N),
@@ -619,6 +634,9 @@ def _extension_oracles() -> dict[str, str]:
         ),
         "metric_anomalies": OX.metric_anomalies_sql(
             O.profile_table_sql("nation", expensive=False)
+        ),
+        "numeric_histogram_lineitem": NH.numeric_histogram_sql(
+            "lineitem", NUMERIC_HIST_COLS
         ),
     }
 
