@@ -510,6 +510,17 @@ def _numeric_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NH.numeric_histograms(_t(spark, sf_dir, "lineitem"), NUMERIC_HIST_COLS)
 
 
+CORR_COLS = ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson correlations of 5 lineitem measures in one
+    fused aggregation pass (10 pairs, 1 scan)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import correlation as CR
+
+    return CR.correlation_matrix(_t(spark, sf_dir, "lineitem"), CORR_COLS)
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -590,12 +601,14 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_constraints_customer": _suggest_constraints_customer,
         "metric_anomalies": _metric_anomalies,
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
+        "correlation_lineitem": _correlation_lineitem,
     }
 
 
 def _extension_oracles() -> dict[str, str]:
     from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
     from data_profiler_for_aws_glue_data_catalog_spark.operators import constraints as C
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import correlation as CR
     from data_profiler_for_aws_glue_data_catalog_spark.operators import numeric_histogram as NH
 
     return {
@@ -638,6 +651,7 @@ def _extension_oracles() -> dict[str, str]:
         "numeric_histogram_lineitem": NH.numeric_histogram_sql(
             "lineitem", NUMERIC_HIST_COLS
         ),
+        "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
     }
 
 
