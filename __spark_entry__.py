@@ -585,6 +585,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
+        "ann_lsh_topk": _embs_op(lambda e: S.lsh_topk(e, ANN_QUERY_IDS)),
         "kmeans_step": _kmeans_step,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_occurrence_index": _stream_occurrence_index,
@@ -627,6 +628,7 @@ def _extension_oracles() -> dict[str, str]:
         "dedup_embedding_exact": OX.embedding_near_duplicates_sql(n_cells=None),
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
+        "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),
         "stream_dedup_exact": OX.stream_dedup_exact_sql(),
         "stream_occurrence_index": OX.stream_occurrence_index_sql(),

@@ -182,6 +182,78 @@ def cosine_topk(
     return _ranked_topk(scored, k)
 
 
+def _band_tokens(planes: list[tuple[int, list[float], float]], n_bands: int) -> Column:
+    """array<int> of banded sign-signature tokens for column ``_v``.
+
+    Random-hyperplane LSH: bit j of the signature is sign(dot(v, h_j));
+    bits are grouped into ``n_bands`` tokens (band index baked into the
+    token so equal tokens mean same band AND same bits). Plane vectors
+    are collected literals — the whole signature is map-side, no
+    exchange, ~n_planes fused dot products per row.
+    """
+    n_planes = len(planes)
+    bpb = n_planes // n_bands
+    toks = []
+    for b in range(n_bands):
+        val: Column | None = None
+        for j in range(bpb):
+            vec = planes[b * bpb + j][1]
+            lit = F.array(*[F.lit(x) for x in vec])
+            bit = F.when(dot(F.col("_v"), lit) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            val = bit if val is None else val + bit
+        toks.append((val + F.lit(b * (1 << bpb))).cast("int"))
+    return F.array(*toks)
+
+
+def lsh_topk(
+    embs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (the bucketed alternative
+    to IVF): score only vectors sharing at least one signature band with
+    the query. Output shape = cosine_topk's; recall depends on
+    plane/band geometry — the standard signed-projection LSH tradeoff.
+
+    Plane vectors are the ``n_planes`` smallest-id vectors (deterministic
+    seeding, same policy as IVF centroids) so the oracle reproduces the
+    signatures exactly; swap in Gaussian planes at scale — plan shape
+    unchanged. The data-side pass is fully map-side (literal planes,
+    broadcast queries, arrays_overlap prefilter before the exact cosine);
+    the only exchanges are the two-stage top-k's.
+    """
+    e = _normed(embs, vec_col, id_col)
+    planes = collect_centroids(e, n_planes)
+    d = e.withColumn("_bands", _band_tokens(planes, n_bands))
+    q = d.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.col("_bands").alias("_qbands"),
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("id") != F.col("query_id"))
+            & F.arrays_overlap("_bands", "_qbands")
+        )
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def ivf_assign(
     embs: DataFrame,
     n_cells: int = 16,

@@ -916,3 +916,49 @@ SELECT instance, name,
   COALESCE({anomaly}, FALSE) AS is_anomaly
 FROM a
 """
+
+
+def lsh_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Mirror of similarity.lsh_topk: same deterministic planes (smallest
+    ids), same sign-bit band tokens, same candidate rule (>=1 shared
+    band), same exact-cosine ranking."""
+    ids = ", ".join(str(i) for i in query_ids)
+    bpb = n_planes // n_bands
+    cos = round6_sql(f"({dot_sql('nn.v', 'qq.v')}) / (nn.nrm * qq.nrm)")
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+pl AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS pidx, v AS pv
+  FROM (SELECT id, v FROM n ORDER BY id LIMIT {n_planes})),
+bits AS (
+  SELECT n.id, p.pidx,
+         CASE WHEN ({dot_sql('n.v', 'p.pv')}) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM n CROSS JOIN pl p),
+bands AS (
+  SELECT id,
+         CAST(SUM(bit * (1 << (pidx % {bpb}))) + (pidx // {bpb}) * {1 << bpb} AS INT) AS tok
+  FROM bits GROUP BY id, pidx // {bpb}),
+qb AS (SELECT id AS query_id, tok FROM bands WHERE id IN ({ids})),
+cand AS (
+  SELECT DISTINCT bands.id, qb.query_id
+  FROM bands JOIN qb ON bands.tok = qb.tok
+  WHERE bands.id <> qb.query_id),
+scored AS (
+  SELECT c.query_id, c.id AS neighbor_id, {cos} AS cosine
+  FROM cand c
+  JOIN n nn ON nn.id = c.id
+  JOIN n qq ON qq.id = c.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -124,3 +124,39 @@ def test_ivf_topk_no_nested_loop_join(spark, embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_topk_subset_of_exact_scores(spark, embeddings):
+    """LSH candidates are a subset of the brute-force ranking: every
+    returned (query, neighbor, cosine) must appear in the exact scored
+    relation with the same cosine; ranks are consistent (ascending from 1,
+    cosine non-increasing)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.cosine_topk(embeddings, [0, 1], k=10**6).collect()
+    }
+    rows = S.lsh_topk(embeddings, [0, 1], k=5).collect()
+    assert rows, "no LSH candidates at all"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(
+            rs[i]["cosine"] >= rs[i + 1]["cosine"] for i in range(len(rs) - 1)
+        )
+
+
+def test_lsh_identical_vectors_always_collide(spark):
+    """Identical vectors share every band -> the duplicate is always a
+    candidate and ranks first with cosine 1.0."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    vecs.append(list(vecs[20]))  # id 40 duplicates id 20
+    vs = _vecs(spark, vecs)
+    rows = S.lsh_topk(vs, [20], k=3, n_planes=16, n_bands=4).collect()
+    assert rows[0]["neighbor_id"] == 40 and rows[0]["cosine"] == 1.0
