@@ -510,6 +510,19 @@ def _numeric_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NH.numeric_histograms(_t(spark, sf_dir, "lineitem"), NUMERIC_HIST_COLS)
 
 
+def _profile_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented profile: the fused metric set per c_mktsegment value."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import grouped_profile
+
+    m = grouped_profile(_t(spark, sf_dir, "customer"), "c_mktsegment")
+    return m.withColumn(
+        "value",
+        F.when(
+            F.col("name").isin(*ROUNDED_METRICS), F.round(F.col("value"), 6)
+        ).otherwise(F.col("value")),
+    )
+
+
 CORR_COLS = ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -603,6 +616,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_anomalies": _metric_anomalies,
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
         "correlation_lineitem": _correlation_lineitem,
+        "profile_customer_by_segment": _profile_customer_by_segment,
     }
 
 
@@ -654,6 +668,9 @@ def _extension_oracles() -> dict[str, str]:
             "lineitem", NUMERIC_HIST_COLS
         ),
         "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
+        "profile_customer_by_segment": O.grouped_profile_sql(
+            "customer", "c_mktsegment"
+        ),
     }
 
 

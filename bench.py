@@ -84,6 +84,11 @@ def main() -> None:
         "clean_corpus",
         "tfidf_documents",
         "kmeans_step",
+        "verify_orders",
+        "suggest_constraints_customer",
+        "metric_anomalies",
+        "numeric_histogram_lineitem",
+        "correlation_lineitem",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

@@ -1,0 +1,61 @@
+"""Segmented profiles: the fused metric set, grouped by a key column.
+
+Extension past the reference surface (which profiles whole tables only):
+per-segment data quality — profile every column of a table once PER VALUE
+of a grouping column (data source, tenant, market segment, label...).
+This is the workhorse view for training-data pipelines: "which source's
+documents went incomplete this week" is a grouped profile plus the
+anomaly detector.
+
+Execution shape (100 TB notes)
+------------------------------
+ONE ``groupBy(key)`` over one scan with every metric for every column
+fused into the grouped aggregation — the same shape as the windowed
+profile (streaming/windowed_profile.py), whose expression builder this
+reuses with the time window swapped for a key. Shuffle bytes ~ segments
+x columns x metrics (map-side partial aggregation), independent of row
+count. Skewed segment keys cost nothing special here: the aggregate
+state per key is fixed-size, so AQE's post-shuffle coalescing handles
+imbalance; there is no per-row join anywhere.
+
+NULL group keys form their own segment (matching SQL GROUP BY), unlike
+the windowed profile where unstamped rows are excluded — a NULL segment
+is a data-quality signal in itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.config import ProfilerConfig
+from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import METRIC_COLS
+from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import (
+    _windowed_aggs,
+)
+
+GROUPED_COLS = ["group_value", *METRIC_COLS]
+
+
+def grouped_profile(
+    df: DataFrame,
+    group_col: str,
+    config: ProfilerConfig | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Profile every column per value of ``group_col``.
+
+    Output: (group_value string, entity, instance, name, value, type) —
+    the long metrics relation keyed by segment. The grouping column
+    itself is not profiled. ``approx_distinct`` adds HLL++
+    ApproxCountDistinct per segment (sketch: rows-only in the
+    correctness contract, like the static profile).
+    """
+    config = config or ProfilerConfig()
+    exprs, structs = _windowed_aggs(df, group_col, config, approx_distinct)
+    grouped = df.groupBy(
+        F.col(group_col).cast("string").alias("group_value")
+    ).agg(*exprs)
+    return grouped.select(
+        "group_value", F.explode(F.array(*structs)).alias("kv")
+    ).select("group_value", "kv.*").select(*GROUPED_COLS)

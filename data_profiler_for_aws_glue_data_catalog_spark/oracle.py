@@ -386,3 +386,42 @@ def profile_table_typed_sql(table: str) -> str:
         ]
         parts += [r + f" FROM {table}" for r in rows]
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def grouped_profile_sql(table: str, group_col: str) -> str:
+    """Oracle for operators.grouped_profile: every fused-scan metric
+    branch as a GROUP BY over the segment column (profiled columns
+    exclude the key; NULL keys form their own segment)."""
+    branches = [
+        _row("Dataset", "*", "Size", "CAST(COUNT(*) AS DOUBLE)", None)
+        + ", gv FROM g GROUP BY gv"
+    ]
+
+    def add(entity, instance, name, value_sql, typ):
+        branches.append(
+            _row(entity, instance, name, value_sql, typ)
+            + ", gv FROM g GROUP BY gv"
+        )
+
+    for c, kind, typ in TABLE_COLUMNS[table]:
+        if c == group_col:
+            continue
+        add("Column", c, "Completeness",
+            f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)", typ)
+        if kind == NUM:
+            add("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ)
+            add("Column", c, "Minimum", f"CAST(MIN({c}) AS DOUBLE)", typ)
+            add("Column", c, "Sum", _sum_dec(c), typ)
+            add("Column", c, "Mean", _mean_sql(c), typ)
+            add("Column", c, "StandardDeviation", _stddev_sql(c), typ)
+        else:
+            add("Column", c, "MaxLength",
+                f"CAST(MAX(LENGTH({c})) AS DOUBLE)", typ)
+            add("Column", c, "MinLength",
+                f"CAST(MIN(LENGTH({c})) AS DOUBLE)", typ)
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH g AS (SELECT *, CAST({group_col} AS VARCHAR) AS gv FROM {table})
+SELECT gv AS group_value, entity, instance, name, value, type
+FROM ({body})
+"""
