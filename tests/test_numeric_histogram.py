@@ -31,9 +31,9 @@ def test_constant_and_null_columns(spark):
     assert "z" not in by_inst  # all-null column: no rows
 
 
-def test_two_pass_plan(spark):
-    """One stats agg broadcast in + one tiny groupBy shuffle — no extra
-    exchanges, no per-column jobs."""
+def test_fused_strategy_plan(spark):
+    """Small bins x cols: one stats agg broadcast in + one fused count
+    agg — no row explosion, no hash-partition shuffle."""
     df = spark.range(1000).selectExpr(
         "cast(id AS double) AS a", "cast(id % 7 AS double) AS b"
     )
@@ -44,4 +44,26 @@ def test_two_pass_plan(spark):
         .toString()
     )
     assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    # the only Generate is the single-row unpivot ABOVE the aggregation
+    # (top-down print) — bucket counting never explodes input rows
+    assert plan.count("Generate") == 1
+    assert plan.index("Generate") < plan.index("HashAggregate")
+
+
+def test_explode_strategy_plan_and_equivalence(spark):
+    """Large bins force the explode shape; both strategies agree."""
+    df = spark.range(1000).selectExpr(
+        "cast(id AS double) AS a", "cast(id % 7 AS double) AS b"
+    )
+    wide = numeric_histograms(df, ["a", "b"], n_bins=200)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram import (
+        _histograms_fused,
+    )
+
+    got = {tuple(r) for r in wide.collect()}
+    ref = {tuple(r) for r in _histograms_fused(df, ["a", "b"], 200).collect()}
+    assert got == ref
