@@ -13,11 +13,14 @@ Execution shape (100 TB notes)
   broadcast back via a cross join — NOT collected — so the whole plan
   stays lazy and the bucket arithmetic is one fixed SQL expression the
   oracle mirrors bit-for-bit.
-- Pass 2: one projection explodes each row into (column, bucket) structs
-  and a single groupBy aggregates them. The explode multiplies rows by
-  n_columns but partial (map-side) aggregation collapses each task's
-  output to at most columns x bins rows BEFORE the exchange — the
-  shuffle is tiny regardless of data size, and there is exactly one.
+- Pass 2 has two shapes (identical output; picked by columns x bins):
+  small histograms count buckets as per-(column, bin) long conditional
+  sums over a per-row precomputed bucket index — no row explosion, no
+  hash-partition shuffle; large histograms project each row into
+  (column, bucket) structs via explode and a single groupBy aggregates
+  them — partial aggregation collapses each task's output to at most
+  columns x bins rows BEFORE the exchange, so the one shuffle is tiny
+  regardless of data size.
 - Empty buckets are absent from the output (sparse representation).
 
 Determinism: bucket = least(floor((v - min)/width), bins-1) with
