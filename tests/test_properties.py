@@ -84,3 +84,90 @@ def test_metric_invariants(spark, rows):
         assert sd >= 0.0
         # exact 6-dp decimal arithmetic: Sum == Mean * count
         assert math.isclose(total, mean * len(nums), rel_tol=0, abs_tol=1e-6)
+
+
+# --- round-2 extension operator invariants ------------------------------
+
+_num_pair_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(min_value=-1e5, max_value=1e5,
+                                       allow_nan=False, width=32)),
+        st.one_of(st.none(), st.floats(min_value=-1e5, max_value=1e5,
+                                       allow_nan=False, width=32)),
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_num_pair_rows)
+def test_correlation_invariants(spark, rows):
+    """corr ∈ [-1, 1] (+6-dp slack) or NULL; n_pairs == pairwise-complete
+    count; corr(a,a-shaped pair) respects symmetry of the moments."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.correlation import correlation_matrix
+
+    df = spark.createDataFrame(rows, "a double, b double")
+    (r,) = correlation_matrix(df, ["a", "b"]).collect()
+    expect_n = sum(1 for a, b in rows if a is not None and b is not None)
+    assert r["n_pairs"] == expect_n
+    if r["corr"] is not None:
+        assert -1.000001 <= r["corr"] <= 1.000001
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(
+    st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6,
+                                   allow_nan=False, width=32)),
+    min_size=0, max_size=30,
+))
+def test_numeric_histogram_invariants(spark, rows):
+    """Counts sum to the non-null count; ratios to 1; bounds ordered and
+    buckets within range — for any content including all-null/empty."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram import (
+        numeric_histograms,
+    )
+
+    df = spark.createDataFrame([(v,) for v in rows], "v double")
+    out = numeric_histograms(df, ["v"], n_bins=5).collect()
+    non_null = [v for v in rows if v is not None]
+    assert sum(r["cnt"] for r in out) == len(non_null)
+    if non_null:
+        assert abs(sum(r["ratio"] for r in out) - 1.0) < 1e-6
+        for r in out:
+            assert 0 <= r["bucket"] < 5
+            assert r["lo"] <= r["hi"] + 1e-9
+    else:
+        assert out == []
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", None]),
+              st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                             allow_nan=False, width=32))),
+    min_size=0, max_size=20,
+))
+def test_grouped_profile_partitions_the_table(spark, rows):
+    """Per-segment Sizes partition the row count, and each segment's
+    Completeness stays in [0,1]."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import grouped_profile
+
+    df = spark.createDataFrame(rows, "seg string, v double")
+    out = grouped_profile(df, "seg").collect()
+    sizes = {r["group_value"]: r["value"] for r in out if r["name"] == "Size"}
+    assert sum(sizes.values()) == len(rows)
+    for r in out:
+        if r["name"] == "Completeness" and r["value"] is not None:
+            assert 0.0 <= r["value"] <= 1.0
