@@ -435,6 +435,14 @@ def _kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(_t(spark, sf_dir, "embeddings"))
 
 
+def _kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds end-to-end: the driver loop feeds round-1 means
+    back as literal centroids; the oracle unrolls both rounds in SQL."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.kmeans import kmeans_train
+
+    return kmeans_train(_t(spark, sf_dir, "embeddings"), n_iters=2)
+
+
 def _tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators.tfidf import tfidf
 
@@ -600,6 +608,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
         "ann_lsh_topk": _embs_op(lambda e: S.lsh_topk(e, ANN_QUERY_IDS)),
         "kmeans_step": _kmeans_step,
+        "kmeans_train": _kmeans_train,
         "stream_dedup_exact": _stream_dedup_exact,
         "stream_occurrence_index": _stream_occurrence_index,
         "sessionize_events": _sessionize_events,
@@ -644,6 +653,7 @@ def _extension_oracles() -> dict[str, str]:
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),
+        "kmeans_train": OX.kmeans_train_sql(n_iters=2),
         "stream_dedup_exact": OX.stream_dedup_exact_sql(),
         "stream_occurrence_index": OX.stream_occurrence_index_sql(),
         "sessionize_events": OX.sessionize_sql(),

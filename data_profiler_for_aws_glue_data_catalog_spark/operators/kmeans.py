@@ -37,6 +37,65 @@ from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import ens
 _SUM_DEC = "decimal(27,6)"
 
 
+def centroids_from_rows(rows) -> list[tuple[int, list[float], float]]:
+    """Rebuild [(cell, vector, norm)] from collected kmeans_step rows.
+
+    The norm is a left-fold sum of squares in dimension order + sqrt —
+    the exact float sequence the oracle's list_reduce mirror computes, so
+    feeding these centroids back keeps the trajectory bit-reproducible.
+    Zero-norm centroids are dropped (they cannot receive a cosine
+    assignment), matching the oracle's ``nrm > 0`` filter.
+    """
+    import math
+
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["value"]
+    cents: list[tuple[int, list[float], float]] = []
+    for cell in sorted(by_cell):
+        dims = by_cell[cell]
+        vec = [dims[d] for d in range(max(dims) + 1)]
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        norm = math.sqrt(acc)
+        if norm > 0:
+            cents.append((cell, vec, norm))
+    return cents
+
+
+def kmeans_train(
+    embs: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full Lloyd training: ``n_iters`` rounds of assign+update from the
+    deterministic smallest-id seeds; returns the FINAL round's centroid
+    relation (cell, dim, value, n_members), lazily.
+
+    The driver loop collects only the tiny (cells x dims) centroid
+    relation between rounds — the standard Spark structure for iterative
+    ML — while every data-size pass stays a map-side assignment plus one
+    (cell, dim)-keyed shuffle. The whole trajectory is deterministic
+    (decimal means, ROUND6), so a DuckDB oracle can replay all rounds
+    exactly (oracle_ext.kmeans_train_sql unrolls the iterations as CTE
+    chains). The trained centroids slot straight into
+    ``similarity.assign_cells``/``ivf_topk`` — same plan shape as the
+    seed quantizer.
+    """
+    if n_iters < 1:
+        raise ValueError("kmeans_train: n_iters >= 1")
+    cents: list[tuple[int, list[float], float]] | None = None
+    for i in range(n_iters):
+        step = kmeans_step(embs, n_cells, vec_col, id_col, centroids=cents)
+        if i == n_iters - 1:
+            return step
+        cents = centroids_from_rows(step.collect())
+    raise AssertionError("unreachable")
+
+
 def kmeans_step(
     embs: DataFrame,
     n_cells: int = 16,

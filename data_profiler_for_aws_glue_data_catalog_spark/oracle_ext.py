@@ -962,3 +962,61 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def _assign_from_sql(cents_cte: str, out_name: str) -> str:
+    """Assignment CTE body: nearest centroid from ``cents_cte`` by
+    (round6 cosine DESC, cell ASC) — similarity.assign_cells parity."""
+    acos = round6_sql(f"({dot_sql('n.v', 'c.cv')}) / (n.nrm * c.cn)")
+    return f"""{out_name} AS (
+  SELECT id, v, nrm, cell FROM (
+    SELECT n.id, n.v, n.nrm, c.cell,
+      row_number() OVER (PARTITION BY n.id ORDER BY {acos} DESC, c.cell ASC) AS rn
+    FROM n CROSS JOIN {cents_cte} c
+  ) WHERE rn = 1
+)"""
+
+
+def kmeans_train_sql(
+    n_cells: int = 16,
+    n_iters: int = 2,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Mirror of kmeans.kmeans_train: the Lloyd trajectory unrolled as
+    CTE chains — per round, assignment over the previous round's
+    centroids, decimal per-(cell, dim) means, then centroid vectors
+    rebuilt (values in dim order, left-fold norm, zero-norm dropped),
+    exactly the floats the driver loop feeds back as literals."""
+    mean = "CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+    parts = [
+        f"n AS ({_normed_vectors_sql(table, vec_col, id_col)})",
+        f"cents0 AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells})",
+    ]
+    prev = "cents0"
+    for i in range(1, n_iters + 1):
+        parts.append(_assign_from_sql(prev, f"a{i}"))
+        parts.append(
+            f"""bd{i} AS (
+  SELECT cell, CAST(u.i - 1 AS INT) AS dim, u.x
+  FROM a{i}, LATERAL (
+    SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x) u)"""
+        )
+        parts.append(
+            f"m{i} AS (SELECT cell, dim, {round6_sql(mean)} AS value, "
+            f"COUNT(*) AS n_members FROM bd{i} GROUP BY cell, dim)"
+        )
+        if i < n_iters:
+            parts.append(
+                f"cv{i} AS (SELECT cell, list(value ORDER BY dim) AS cv "
+                f"FROM m{i} GROUP BY cell)"
+            )
+            nrm = f"sqrt({dot_sql('cv', 'cv')})"
+            parts.append(
+                f"cents{i} AS (SELECT cell, cv, {nrm} AS cn FROM cv{i} "
+                f"WHERE {nrm} > 0)"
+            )
+            prev = f"cents{i}"
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT cell, dim, value, n_members FROM m{n_iters}"

@@ -55,3 +55,54 @@ def test_kmeans_driver_loop_converges(spark):
     assert members2 == {0: 3, 1: 3}
     for (_, v1, _), (_, v2, _) in zip(cents1, cents2):
         assert all(abs(a - b) < 1e-9 for a, b in zip(v1, v2))
+
+
+def test_kmeans_train_matches_manual_loop(spark):
+    """kmeans_train(n_iters=2) == manually feeding round-1 centroids back."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.kmeans import (
+        centroids_from_rows,
+        kmeans_train,
+    )
+
+    e = _embs(spark)
+    manual = kmeans_step(
+        e, n_cells=2, centroids=centroids_from_rows(
+            kmeans_step(e, n_cells=2).collect()
+        )
+    )
+    got = {(r["cell"], r["dim"]): (r["value"], r["n_members"])
+           for r in kmeans_train(e, n_cells=2, n_iters=2).collect()}
+    ref = {(r["cell"], r["dim"]): (r["value"], r["n_members"])
+           for r in manual.collect()}
+    assert got == ref
+
+
+def test_kmeans_train_single_iter_is_step(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.kmeans import kmeans_train
+
+    e = _embs(spark)
+    a = sorted(map(tuple, kmeans_train(e, n_cells=2, n_iters=1).collect()))
+    b = sorted(map(tuple, kmeans_step(e, n_cells=2).collect()))
+    assert a == b
+
+
+def test_trained_centroids_drive_ivf(spark):
+    """The trained centroid list slots into similarity.assign_cells —
+    every vector lands in a live cell."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.kmeans import (
+        centroids_from_rows,
+        kmeans_train,
+    )
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import with_norm
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import assign_cells
+    from pyspark.sql import functions as F
+
+    e = _embs(spark)
+    cents = centroids_from_rows(kmeans_train(e, n_cells=2, n_iters=2).collect())
+    normed = with_norm(e, "embedding").select(
+        F.col("vec_id").alias("id"), "_v", "_norm"
+    )
+    assigned = assign_cells(normed, cents)
+    cells = {r["cell"] for r in assigned.select("cell").collect()}
+    assert cells <= {c for c, _, _ in cents}
+    assert assigned.count() == 6
