@@ -518,6 +518,23 @@ def _numeric_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NH.numeric_histograms(_t(spark, sf_dir, "lineitem"), NUMERIC_HIST_COLS)
 
 
+def _profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift: the orders profile vs the profile of its open
+    (o_orderstatus = 'O') subset — per-metric deltas + change classes."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.profile_diff import profile_diff
+
+    df = _t(spark, sf_dir, "orders")
+    old = _present(profile_table(df, ProfilerConfig(), include_approx=False))
+    new = _present(
+        profile_table(
+            df.where(F.col("o_orderstatus") == "O"),
+            ProfilerConfig(),
+            include_approx=False,
+        )
+    )
+    return profile_diff(old, new)
+
+
 def _profile_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented profile: the fused metric set per c_mktsegment value."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import grouped_profile
@@ -626,6 +643,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
         "correlation_lineitem": _correlation_lineitem,
         "profile_customer_by_segment": _profile_customer_by_segment,
+        "profile_drift_orders": _profile_drift_orders,
     }
 
 
@@ -634,6 +652,7 @@ def _extension_oracles() -> dict[str, str]:
     from data_profiler_for_aws_glue_data_catalog_spark.operators import constraints as C
     from data_profiler_for_aws_glue_data_catalog_spark.operators import correlation as CR
     from data_profiler_for_aws_glue_data_catalog_spark.operators import numeric_histogram as NH
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import profile_diff as PD
 
     return {
         "multimodal_binary_profile": OX.binary_profile_sql(dup_n=DUP_N),
@@ -680,6 +699,14 @@ def _extension_oracles() -> dict[str, str]:
         "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
         "profile_customer_by_segment": O.grouped_profile_sql(
             "customer", "c_mktsegment"
+        ),
+        "profile_drift_orders": PD.profile_diff_sql(
+            O.profile_table_sql("orders", expensive=False),
+            O.profile_table_sql(
+                "orders",
+                expensive=False,
+                from_sql="(SELECT * FROM orders WHERE o_orderstatus = 'O')",
+            ),
         ),
     }
 

@@ -237,16 +237,20 @@ def profile_table_sql(
     expensive: bool = True,
     n_bins: int = 10,
     with_table_name: bool = False,
+    from_sql: str | None = None,
 ) -> str:
     """Full oracle for profile_table on a testdata table (approx metrics
-    excluded by design — they're checked rows-only)."""
+    excluded by design — they're checked rows-only). ``from_sql``
+    optionally replaces the FROM relation (e.g. a filtered subquery)
+    while keeping ``table``'s column inventory."""
     cols = TABLE_COLUMNS[table]
-    parts = [size_sql(table)]
+    rel = from_sql if from_sql is not None else table
+    parts = [size_sql(rel)]
     for c, kind, typ in cols:
-        parts += scan_metric_rows(table, c, kind, typ)
+        parts += scan_metric_rows(rel, c, kind, typ)
         if expensive and kind == TEXT:
-            parts.append(f"SELECT * FROM ({freq_metrics_sql(table, c, typ)})")
-            parts.append(f"SELECT * FROM ({histogram_sql(table, c, typ, n_bins)})")
+            parts.append(f"SELECT * FROM ({freq_metrics_sql(rel, c, typ)})")
+            parts.append(f"SELECT * FROM ({histogram_sql(rel, c, typ, n_bins)})")
     body = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
     if with_table_name:
         return f"SELECT entity, instance, name, value, type, '{table}' AS table_name FROM ({body})"
