@@ -89,6 +89,9 @@ def main() -> None:
         "metric_anomalies",
         "numeric_histogram_lineitem",
         "correlation_lineitem",
+        "profile_customer_by_segment",
+        "profile_drift_orders",
+        "kmeans_train",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
