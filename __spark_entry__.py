@@ -548,6 +548,29 @@ def _profile_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MI_PAIRS = [
+    ("l_returnflag", "l_linestatus"),
+    ("l_linenumber", "l_returnflag"),
+    ("l_linenumber", "l_linestatus"),
+]
+
+
+def _compliance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ Compliance + PatternMatch analyzers: every rule fused into
+    one scan-agg pass over orders."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import compliance as CP
+
+    rules, pats = CP.default_orders_rules()
+    return CP.compliance_metrics(_t(spark, sf_dir, "orders"), rules, pats)
+
+
+def _mutual_info_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ MutualInformation analyzer over 3 categorical lineitem pairs."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "lineitem"), MI_PAIRS)
+
+
 CORR_COLS = ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -557,6 +580,14 @@ def _correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators import correlation as CR
 
     return CR.correlation_matrix(_t(spark, sf_dir, "lineitem"), CORR_COLS)
+
+
+def _compliance_oracle() -> str:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import compliance as CP
+
+    rules, pats = CP.default_orders_rules()
+    types = {c: t for c, _, t in O.TABLE_COLUMNS["orders"]}
+    return CP.compliance_sql("orders", rules, pats, types)
 
 
 def _docs_op(fn):
@@ -642,6 +673,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_anomalies": _metric_anomalies,
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
         "correlation_lineitem": _correlation_lineitem,
+        "compliance_orders": _compliance_orders,
+        "mutual_info_lineitem": _mutual_info_lineitem,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -697,6 +730,10 @@ def _extension_oracles() -> dict[str, str]:
             "lineitem", NUMERIC_HIST_COLS
         ),
         "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
+        "compliance_orders": _compliance_oracle(),
+        "mutual_info_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
+        ).mutual_information_sql("lineitem", MI_PAIRS),
         "profile_customer_by_segment": O.grouped_profile_sql(
             "customer", "c_mktsegment"
         ),
