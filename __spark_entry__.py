@@ -548,6 +548,24 @@ def _profile_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_lineitem_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profiling (Deequ state model): lineitem split into two
+    disjoint increments, per-increment mergeable states, one merge, finish
+    — must equal the single-pass full profile row-for-row, so it shares
+    the profile oracle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.incremental import incremental_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = incremental_profile(
+        [
+            li.where(F.col("l_orderkey") % 2 == 0),
+            li.where(F.col("l_orderkey") % 2 == 1),
+        ],
+        _EXPENSIVE,
+    )
+    return _present(m)
+
+
 MI_PAIRS = [
     ("l_returnflag", "l_linestatus"),
     ("l_linenumber", "l_returnflag"),
@@ -765,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_orders_typed"] = _profile_orders_typed
     q["profile_catalog_scan"] = _profile_catalog_scan
     q["profile_lineitem_observed"] = _profile_lineitem_observed
+    q["profile_lineitem_incremental"] = _profile_lineitem_incremental
     q.update(_extension_queries())
     return q
 
@@ -817,5 +836,6 @@ GROUP BY n_name ORDER BY n_name
         for t in CATALOG_TABLES
     )
     o["profile_lineitem_observed"] = O.observed_profile_sql("lineitem")
+    o["profile_lineitem_incremental"] = O.profile_table_sql("lineitem", expensive=True)
     o.update(_extension_oracles())
     return o
