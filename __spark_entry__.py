@@ -608,6 +608,25 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+EMB_DIM = 64
+
+
+def _vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: 4 aggregate streams x 64 dims in
+    ONE fused scan (no shuffle)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import vector_dim_stats
+
+    return vector_dim_stats(_t(spark, sf_dir, "embeddings"), EMB_DIM)
+
+
+def _vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector quality profile: null/wrong-dim/non-finite/zero counts +
+    L2-norm distribution, one fused single-row agg."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import vector_norm_stats
+
+    return vector_norm_stats(_t(spark, sf_dir, "embeddings"), EMB_DIM)
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -693,6 +712,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_lineitem": _correlation_lineitem,
         "compliance_orders": _compliance_orders,
         "mutual_info_lineitem": _mutual_info_lineitem,
+        "vector_dim_stats": _vector_dim_stats,
+        "vector_norm_stats": _vector_norm_stats,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -749,6 +770,12 @@ def _extension_oracles() -> dict[str, str]:
         ),
         "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
         "compliance_orders": _compliance_oracle(),
+        "vector_dim_stats": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats", fromlist=["x"]
+        ).vector_dim_stats_sql("embeddings", EMB_DIM),
+        "vector_norm_stats": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats", fromlist=["x"]
+        ).vector_norm_stats_sql("embeddings", EMB_DIM),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
