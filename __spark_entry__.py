@@ -608,6 +608,24 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+HOT_KEYS = ["user_id", "event_type"]
+
+
+def _key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: all 4 key columns share one shuffle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.skew import skew_summary
+
+    return skew_summary(_t(spark, sf_dir, "lineitem"), SKEW_KEYS)
+
+
+def _hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest key values per events key column, with row share."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.skew import hot_keys
+
+    return hot_keys(_t(spark, sf_dir, "events"), HOT_KEYS, 10)
+
+
 EMB_DIM = 64
 
 
@@ -714,6 +732,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_lineitem": _mutual_info_lineitem,
         "vector_dim_stats": _vector_dim_stats,
         "vector_norm_stats": _vector_norm_stats,
+        "key_skew_lineitem": _key_skew_lineitem,
+        "hot_keys_events": _hot_keys_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -776,6 +796,12 @@ def _extension_oracles() -> dict[str, str]:
         "vector_norm_stats": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats", fromlist=["x"]
         ).vector_norm_stats_sql("embeddings", EMB_DIM),
+        "key_skew_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.skew", fromlist=["x"]
+        ).skew_summary_sql("lineitem", SKEW_KEYS),
+        "hot_keys_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.skew", fromlist=["x"]
+        ).hot_keys_sql("events", HOT_KEYS, 10),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
