@@ -707,6 +707,11 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": _embs_op(
             lambda e: D.embedding_near_duplicates(e, n_cells=None)
         ),
+        "dedup_resolve_clusters": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
+            ).resolve_duplicates(d, D.minhash_lsh_near_duplicates(d))
+        ),
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
         "ann_lsh_topk": _embs_op(lambda e: S.lsh_topk(e, ANN_QUERY_IDS)),
@@ -760,6 +765,11 @@ def _extension_oracles() -> dict[str, str]:
         "dedup_simhash": OX.simhash_near_duplicates_sql(),
         "dedup_embedding": OX.embedding_near_duplicates_sql(),
         "dedup_embedding_exact": OX.embedding_near_duplicates_sql(n_cells=None),
+        "dedup_resolve_clusters": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
+        ).resolve_duplicates_sql(
+            "documents", OX.minhash_lsh_near_duplicates_sql()
+        ),
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),

@@ -92,6 +92,13 @@ def main() -> None:
         "profile_customer_by_segment",
         "profile_drift_orders",
         "kmeans_train",
+        "compliance_orders",
+        "mutual_info_lineitem",
+        "profile_lineitem_incremental",
+        "vector_dim_stats",
+        "vector_norm_stats",
+        "key_skew_lineitem",
+        "hot_keys_events",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
