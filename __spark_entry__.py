@@ -608,6 +608,23 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+KEY_SETS = [
+    ["o_orderkey"],
+    ["o_custkey"],
+    ["o_orderstatus"],
+    ["o_custkey", "o_totalprice"],
+    ["o_orderstatus", "o_orderpriority"],
+]
+
+
+def _candidate_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key discovery: every candidate column set's exact composite
+    uniqueness in ONE multi-distinct aggregation job."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.keys import candidate_keys
+
+    return candidate_keys(_t(spark, sf_dir, "orders"), KEY_SETS)
+
+
 SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
 HOT_KEYS = ["user_id", "event_type"]
 
@@ -739,6 +756,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norm_stats": _vector_norm_stats,
         "key_skew_lineitem": _key_skew_lineitem,
         "hot_keys_events": _hot_keys_events,
+        "candidate_keys_orders": _candidate_keys_orders,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -812,6 +830,9 @@ def _extension_oracles() -> dict[str, str]:
         "hot_keys_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.skew", fromlist=["x"]
         ).hot_keys_sql("events", HOT_KEYS, 10),
+        "candidate_keys_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.keys", fromlist=["x"]
+        ).candidate_keys_sql("orders", KEY_SETS),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
