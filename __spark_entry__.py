@@ -608,6 +608,17 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+INFER_COLS = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+
+
+def _infer_types_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ DataType analyzer: value-class histogram + inferred type per
+    column (columns viewed as strings), one fused pass."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.type_inference import infer_types
+
+    return infer_types(_t(spark, sf_dir, "orders"), INFER_COLS)
+
+
 KEY_SETS = [
     ["o_orderkey"],
     ["o_custkey"],
@@ -757,6 +768,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_lineitem": _key_skew_lineitem,
         "hot_keys_events": _hot_keys_events,
         "candidate_keys_orders": _candidate_keys_orders,
+        "infer_types_orders": _infer_types_orders,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -833,6 +845,9 @@ def _extension_oracles() -> dict[str, str]:
         "candidate_keys_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.keys", fromlist=["x"]
         ).candidate_keys_sql("orders", KEY_SETS),
+        "infer_types_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.type_inference", fromlist=["x"]
+        ).infer_types_sql("orders", INFER_COLS),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
