@@ -608,6 +608,20 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+GQ_POINTS = [0.25, 0.5, 0.75, 0.9, 0.99]
+GQ_VALUE_COLS = ["l_quantity", "l_extendedprice"]
+
+
+def _grouped_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles: all points x value columns in one
+    groupBy shuffle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_quantiles import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", GQ_VALUE_COLS, GQ_POINTS
+    )
+
+
 INFER_COLS = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
 
 
@@ -769,6 +783,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_events": _hot_keys_events,
         "candidate_keys_orders": _candidate_keys_orders,
         "infer_types_orders": _infer_types_orders,
+        "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -848,6 +863,11 @@ def _extension_oracles() -> dict[str, str]:
         "infer_types_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.type_inference", fromlist=["x"]
         ).infer_types_sql("orders", INFER_COLS),
+        "grouped_quantiles_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_quantiles", fromlist=["x"]
+        ).grouped_quantiles_sql(
+            "lineitem", "l_returnflag", GQ_VALUE_COLS, GQ_POINTS
+        ),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
