@@ -608,6 +608,14 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+def _json_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload-column profile: key discovery + per-key presence and
+    value-type histogram, one shuffle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.json_profile import json_profile
+
+    return json_profile(_t(spark, sf_dir, "events"), "props")
+
+
 GQ_POINTS = [0.25, 0.5, 0.75, 0.9, 0.99]
 GQ_VALUE_COLS = ["l_quantity", "l_extendedprice"]
 
@@ -784,6 +792,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_keys_orders": _candidate_keys_orders,
         "infer_types_orders": _infer_types_orders,
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
+        "json_profile_events": _json_profile_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -868,6 +877,9 @@ def _extension_oracles() -> dict[str, str]:
         ).grouped_quantiles_sql(
             "lineitem", "l_returnflag", GQ_VALUE_COLS, GQ_POINTS
         ),
+        "json_profile_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.json_profile", fromlist=["x"]
+        ).json_profile_sql("events", "props"),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),

@@ -99,6 +99,10 @@ def main() -> None:
         "vector_norm_stats",
         "key_skew_lineitem",
         "hot_keys_events",
+        "candidate_keys_orders",
+        "infer_types_orders",
+        "grouped_quantiles_lineitem",
+        "dedup_resolve_clusters",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
