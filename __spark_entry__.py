@@ -608,6 +608,14 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+def _rolling_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user rolling count/sum/mean: one RANGE-framed
+    window over one shuffle+sort."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.rolling import rolling_stats
+
+    return rolling_stats(_t(spark, sf_dir, "events"))
+
+
 def _json_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload-column profile: key discovery + per-key presence and
     value-type histogram, one shuffle."""
@@ -793,6 +801,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types_orders": _infer_types_orders,
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "json_profile_events": _json_profile_events,
+        "rolling_stats_events": _rolling_stats_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -880,6 +889,9 @@ def _extension_oracles() -> dict[str, str]:
         "json_profile_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.json_profile", fromlist=["x"]
         ).json_profile_sql("events", "props"),
+        "rolling_stats_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.rolling", fromlist=["x"]
+        ).rolling_stats_sql("events"),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
