@@ -608,6 +608,51 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+DIFF_KEYS = ["o_orderkey"]
+DIFF_COMPARE = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+_DIFF_NEW_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+  o_orderpriority
+FROM orders WHERE o_orderkey % 97 != 0
+UNION ALL
+SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_orderstatus,
+  o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 101 = 0
+"""
+_DIFF_OLD_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "o_orderpriority FROM orders"
+)
+
+
+def _diff_frames(spark: SparkSession, sf_dir: str):
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    old.createOrReplaceTempView("orders")
+    new = spark.sql(_DIFF_NEW_SQL)
+    return old, new
+
+
+def _table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff: orders vs a derived next snapshot with
+    removed (%97), changed (%5) and added (%101 shifted) keys — one
+    full-outer join, null-safe column comparison."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff import table_diff
+
+    old, new = _diff_frames(spark, sf_dir)
+    return table_diff(old, new, DIFF_KEYS, DIFF_COMPARE)
+
+
+def _diff_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff import diff_summary
+
+    old, new = _diff_frames(spark, sf_dir)
+    return diff_summary(old, new, DIFF_KEYS, DIFF_COMPARE)
+
+
 def _rolling_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day per-user rolling count/sum/mean: one RANGE-framed
     window over one shuffle+sort."""
@@ -802,6 +847,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "json_profile_events": _json_profile_events,
         "rolling_stats_events": _rolling_stats_events,
+        "table_diff_orders": _table_diff_orders,
+        "diff_summary_orders": _diff_summary_orders,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -892,6 +939,12 @@ def _extension_oracles() -> dict[str, str]:
         "rolling_stats_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.rolling", fromlist=["x"]
         ).rolling_stats_sql("events"),
+        "table_diff_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff", fromlist=["x"]
+        ).table_diff_sql(_DIFF_OLD_SQL, _DIFF_NEW_SQL, DIFF_KEYS, DIFF_COMPARE),
+        "diff_summary_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff", fromlist=["x"]
+        ).diff_summary_sql(_DIFF_OLD_SQL, _DIFF_NEW_SQL, DIFF_KEYS, DIFF_COMPARE),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
