@@ -505,6 +505,30 @@ def _metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.detect_anomalies(runs)
 
 
+def _metric_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ AbsoluteChange / RelativeRateOfChange anomaly strategies over
+    the same deterministic 3-run nation-profile history."""
+    from data_profiler_for_aws_glue_data_catalog_spark import oracle_ext as OX
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import anomaly as AN
+
+    m = profile_table(
+        _t(spark, sf_dir, "nation"), ProfilerConfig(), include_approx=False
+    ).select("entity", "instance", "name", "value")
+    runs = None
+    for i, ts in enumerate(OX.ANOMALY_RUN_TS, start=1):
+        factor = OX.anomaly_history_factor(i)
+        r = m.selectExpr(
+            "entity",
+            "instance",
+            "name",
+            f"value * (CASE WHEN pmod(length(name), 2) = 0 THEN {factor!r}D "
+            f"ELSE 1.0D END) AS value",
+            f"timestamp'{ts}' AS profiler_run_ts",
+        )
+        runs = r if runs is None else runs.unionByName(r)
+    return AN.detect_changes(runs)
+
+
 NUMERIC_HIST_COLS = [
     c for c, kind, _ in O.TABLE_COLUMNS["lineitem"] if kind == O.NUM
 ]
@@ -834,6 +858,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_orders": _verify_orders,
         "suggest_constraints_customer": _suggest_constraints_customer,
         "metric_anomalies": _metric_anomalies,
+        "metric_changes": _metric_changes,
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
         "correlation_lineitem": _correlation_lineitem,
         "compliance_orders": _compliance_orders,
@@ -903,6 +928,9 @@ def _extension_oracles() -> dict[str, str]:
             O.profile_table_sql("customer", expensive=False)
         ),
         "metric_anomalies": OX.metric_anomalies_sql(
+            O.profile_table_sql("nation", expensive=False)
+        ),
+        "metric_changes": OX.metric_changes_sql(
             O.profile_table_sql("nation", expensive=False)
         ),
         "numeric_histogram_lineitem": NH.numeric_histogram_sql(

@@ -126,3 +126,81 @@ def detect_anomalies(
         f"cast({ROUND6.format(x=z)} AS double) AS z",
         f"coalesce({anomaly}, false) AS is_anomaly",
     ).select(*ANOMALY_COLS)
+
+
+CHANGE_COLS = [
+    "instance",
+    "name",
+    "n_runs",
+    "current",
+    "previous",
+    "abs_change",
+    "rel_rate",
+    "abs_anomaly",
+    "rel_anomaly",
+]
+
+
+def detect_changes(
+    history: DataFrame,
+    max_abs_decrease: float = 10.0,
+    max_abs_increase: float = 10.0,
+    min_rate: float = 0.8,
+    max_rate: float = 1.25,
+    ts_col: str = "profiler_run_ts",
+    key_cols: tuple[str, ...] = ("entity", "instance", "name"),
+) -> DataFrame:
+    """Deequ's AbsoluteChange / RelativeRateOfChange strategies: compare
+    the latest run against the PREVIOUS run only.
+
+    Output per key: current, previous, abs_change = current - previous,
+    rel_rate = current / previous (NULL when previous is 0 or there is
+    no previous run), plus the two strategy verdicts:
+
+      abs_anomaly: abs_change outside [-max_abs_decrease, max_abs_increase]
+      rel_anomaly: rel_rate outside [min_rate, max_rate]
+
+    Both FALSE when undecidable (single run; zero previous for the
+    rate) — decidability is readable from previous/rel_rate being NULL.
+    Same plan shape as detect_anomalies: one exchange keyed by metric,
+    window max + grouped arg-max aggregation, no self-join.
+    """
+    keys = list(key_cols)
+    v6 = ROUND6.format(x="cast(value AS double)")
+    src = history.selectExpr(
+        *keys,
+        f"cast({ts_col} AS timestamp) AS _ts",
+        f"cast({v6} AS double) AS _v",
+    ).withColumn("_max_ts", F.max("_ts").over(Window.partitionBy(*keys)))
+    base = "_ts < _max_ts"
+    row = src.groupBy(keys).agg(
+        F.expr("cast(count(_v) AS bigint)").alias("n_runs"),
+        F.expr("max_by(_v, _ts)").alias("current"),
+        F.expr(
+            f"max_by(CASE WHEN {base} THEN _v END, "
+            f"CASE WHEN {base} THEN _ts END)"
+        ).alias("previous"),
+    )
+    abs_change = "current - previous"
+    rel_rate = "try_divide(current, nullif(previous, 0.0D))"
+    abs_anom = (
+        f"CASE WHEN previous IS NULL THEN NULL "
+        f"ELSE ({abs_change}) < {-float(max_abs_decrease)!r} "
+        f"OR ({abs_change}) > {float(max_abs_increase)!r} END"
+    )
+    rel_anom = (
+        f"CASE WHEN ({rel_rate}) IS NULL THEN NULL "
+        f"ELSE ({rel_rate}) < {float(min_rate)!r} "
+        f"OR ({rel_rate}) > {float(max_rate)!r} END"
+    )
+    return row.selectExpr(
+        "instance",
+        "name",
+        "n_runs",
+        "current",
+        "previous",
+        f"cast({ROUND6.format(x=abs_change)} AS double) AS abs_change",
+        f"cast({ROUND6.format(x=rel_rate)} AS double) AS rel_rate",
+        f"coalesce({abs_anom}, false) AS abs_anomaly",
+        f"coalesce({rel_anom}, false) AS rel_anomaly",
+    ).select(*CHANGE_COLS)

@@ -918,6 +918,58 @@ FROM a
 """
 
 
+def metric_changes_sql(
+    profile_sql: str,
+    max_abs_decrease: float = 10.0,
+    max_abs_increase: float = 10.0,
+    min_rate: float = 0.8,
+    max_rate: float = 1.25,
+) -> str:
+    """Mirror of anomaly.detect_changes over the same deterministic 3-run
+    history (AbsoluteChange / RelativeRateOfChange strategies)."""
+    runs = "\nUNION ALL\n".join(
+        f"SELECT entity, instance, name, "
+        f"value * (CASE WHEN length(name) % 2 = 0 THEN {anomaly_history_factor(i)!r} "
+        f"ELSE 1.0 END) AS value, TIMESTAMP '{ts}' AS ts FROM p"
+        for i, ts in enumerate(ANOMALY_RUN_TS, start=1)
+    )
+    v6 = round6_sql("CAST(value AS DOUBLE)")
+    base = "ts < mx"
+    abs_change = "current - previous"
+    rel_rate = (
+        "CASE WHEN previous IS NULL OR previous = 0.0 THEN NULL "
+        "ELSE current / previous END"
+    )
+    abs_anom = (
+        f"CASE WHEN previous IS NULL THEN NULL "
+        f"ELSE ({abs_change}) < {-float(max_abs_decrease)!r} "
+        f"OR ({abs_change}) > {float(max_abs_increase)!r} END"
+    )
+    rel_anom = (
+        f"CASE WHEN ({rel_rate}) IS NULL THEN NULL "
+        f"ELSE ({rel_rate}) < {float(min_rate)!r} "
+        f"OR ({rel_rate}) > {float(max_rate)!r} END"
+    )
+    return f"""
+WITH p AS ({profile_sql}),
+runs AS ({runs}),
+r6 AS (SELECT entity, instance, name, {v6} AS v, ts FROM runs),
+w AS (SELECT *, MAX(ts) OVER (PARTITION BY entity, instance, name) AS mx FROM r6),
+a AS (
+  SELECT entity, instance, name,
+    CAST(COUNT(v) AS BIGINT) AS n_runs,
+    arg_max(v, ts) AS current,
+    arg_max(CASE WHEN {base} THEN v END, CASE WHEN {base} THEN ts END) AS previous
+  FROM w GROUP BY entity, instance, name)
+SELECT instance, name, n_runs, current, previous,
+  CAST({round6_sql(abs_change)} AS DOUBLE) AS abs_change,
+  CAST({round6_sql(rel_rate)} AS DOUBLE) AS rel_rate,
+  COALESCE({abs_anom}, FALSE) AS abs_anomaly,
+  COALESCE({rel_anom}, FALSE) AS rel_anomaly
+FROM a
+"""
+
+
 def lsh_topk_sql(
     query_ids: list[int],
     k: int = 10,

@@ -66,3 +66,39 @@ def test_one_exchange_plan(spark):
     h = _hist(spark, [("c", "Mean", 1.0, "2026-01-01")] * 3)
     plan = detect_anomalies(h)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_detect_changes_strategies(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.anomaly import detect_changes
+
+    t = [dt.datetime(2026, 1, d) for d in (1, 2, 3)]
+    rows = [
+        # steady metric: 10 -> 10 -> 10
+        ("Column", "a", "m", 10.0, t[0]),
+        ("Column", "a", "m", 10.0, t[1]),
+        ("Column", "a", "m", 10.0, t[2]),
+        # jumping metric: 10 -> 10 -> 30 (abs +20, rate 3.0)
+        ("Column", "b", "m", 10.0, t[0]),
+        ("Column", "b", "m", 10.0, t[1]),
+        ("Column", "b", "m", 30.0, t[2]),
+        # single run: undecidable
+        ("Column", "c", "m", 5.0, t[2]),
+        # previous zero: rate undecidable, abs decidable
+        ("Column", "d", "m", 0.0, t[1]),
+        ("Column", "d", "m", 50.0, t[2]),
+    ]
+    hist = spark.createDataFrame(
+        rows, "entity string, instance string, name string, "
+        "value double, profiler_run_ts timestamp"
+    )
+    got = {r.instance: r for r in detect_changes(hist).collect()}
+    assert got["a"].abs_change == 0.0 and not got["a"].abs_anomaly
+    assert not got["a"].rel_anomaly
+    assert got["b"].abs_change == 20.0 and got["b"].abs_anomaly
+    assert got["b"].rel_rate == 3.0 and got["b"].rel_anomaly
+    assert got["c"].previous is None
+    assert not got["c"].abs_anomaly and not got["c"].rel_anomaly
+    assert got["d"].rel_rate is None and not got["d"].rel_anomaly
+    assert got["d"].abs_anomaly  # +50 over the abs bound
