@@ -632,6 +632,22 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+_CONTAM_CORPUS_SQL = "SELECT * FROM documents WHERE doc_id % 10 != 0"
+_CONTAM_BENCH_SQL = "SELECT * FROM documents WHERE doc_id % 5 = 0"
+
+
+def _contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: n-gram containment of a held-out bench
+    slice vs the training corpus slice (half the bench overlaps)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.contamination import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+    )
+
+
 DIFF_KEYS = ["o_orderkey"]
 DIFF_COMPARE = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 _DIFF_NEW_SQL = """
@@ -874,6 +890,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats_events": _rolling_stats_events,
         "table_diff_orders": _table_diff_orders,
         "diff_summary_orders": _diff_summary_orders,
+        "contamination_documents": _contamination_documents,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -973,6 +990,9 @@ def _extension_oracles() -> dict[str, str]:
         "diff_summary_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff", fromlist=["x"]
         ).diff_summary_sql(_DIFF_OLD_SQL, _DIFF_NEW_SQL, DIFF_KEYS, DIFF_COMPARE),
+        "contamination_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.contamination", fromlist=["x"]
+        ).contamination_sql(_CONTAM_CORPUS_SQL, _CONTAM_BENCH_SQL),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),

@@ -103,6 +103,11 @@ def main() -> None:
         "infer_types_orders",
         "grouped_quantiles_lineitem",
         "dedup_resolve_clusters",
+        "json_profile_events",
+        "rolling_stats_events",
+        "table_diff_orders",
+        "diff_summary_orders",
+        "metric_changes",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
