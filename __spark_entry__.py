@@ -181,6 +181,28 @@ def _catalog_params_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- coverage: typed/catalog
 
+def _compliance_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed data-quality monitoring: the compliance rule fractions per
+    1-day tumbling window over the events stream (batch form of the
+    streaming aggregation)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import compliance as CP
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import (
+        windowed_compliance,
+    )
+
+    rules, pats = CP.default_events_rules()
+    m = windowed_compliance(_t(spark, sf_dir, "events"), "ts", rules, pats)
+    return m.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "entity",
+        "instance",
+        "name",
+        "value",
+        "type",
+    )
+
+
 def _profile_orders_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_unsupported_types + profile_timestamps: o_orderdate is cast
     to string (types.cast_convertibles) and profiled as text."""
@@ -1024,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["publish_metrics_parquet"] = _publish_metrics_parquet
     q["catalog_params_sink"] = _catalog_params_sink
     q["profile_events_windowed"] = _profile_events_windowed
+    q["compliance_events_windowed"] = _compliance_events_windowed
     q["profile_orders_typed"] = _profile_orders_typed
     q["profile_catalog_scan"] = _profile_catalog_scan
     q["profile_lineitem_observed"] = _profile_lineitem_observed
@@ -1073,6 +1096,14 @@ GROUP BY n_name ORDER BY n_name
     )
     o["catalog_params_sink"] = O.catalog_params_sql(SINK_TABLES, "DQP__")
     o["profile_events_windowed"] = O.windowed_profile_sql("events", "ts")
+    _cp = __import__(
+        "data_profiler_for_aws_glue_data_catalog_spark.operators.compliance", fromlist=["x"]
+    )
+    _ev_rules, _ev_pats = _cp.default_events_rules()
+    o["compliance_events_windowed"] = _cp.windowed_compliance_sql(
+        "events", "ts", _ev_rules, _ev_pats,
+        {c: t for c, _, t in O.TABLE_COLUMNS["events"]},
+    )
     o["profile_orders_typed"] = O.profile_table_typed_sql("orders")
     o["profile_catalog_scan"] = "\nUNION ALL\n".join(
         f"SELECT entity, instance, name, value, type, 'cat_{t}' AS table_name "

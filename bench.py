@@ -108,6 +108,7 @@ def main() -> None:
         "table_diff_orders",
         "diff_summary_orders",
         "metric_changes",
+        "contamination_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

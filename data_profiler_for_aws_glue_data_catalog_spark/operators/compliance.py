@@ -160,3 +160,61 @@ def default_orders_rules() -> tuple[list[ComplianceRule], list[PatternRule]]:
         PatternRule("status_single_upper", "o_orderstatus", "^[A-Z]$"),
     ]
     return rules, patterns
+
+
+def windowed_compliance_sql(
+    table: str,
+    ts_col: str,
+    rules: list[ComplianceRule] = (),
+    patterns: list[PatternRule] = (),
+    column_types: dict[str, str] | None = None,
+) -> str:
+    """DuckDB mirror of streaming.windowed_compliance with 1-day tumbling
+    windows (Spark's epoch-aligned day window == day truncation), bounds
+    formatted as strings."""
+    w = (
+        f"(SELECT *, date_trunc('day', {ts_col}) AS ws FROM {table} "
+        f"WHERE {ts_col} IS NOT NULL)"
+    )
+    fmt_ws = "strftime(ws, '%Y-%m-%d %H:%M:%S')"
+    fmt_we = "strftime(ws + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')"
+    parts: list[str] = []
+    for r in rules:
+        parts.append(
+            f"SELECT {fmt_ws} AS window_start, {fmt_we} AS window_end, "
+            f"'Dataset' AS entity, {_duck_str(r.name)} AS instance, "
+            f"'Compliance' AS name, "
+            f"CAST(SUM(CASE WHEN ({r.predicate_sql}) THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" / COUNT(*) AS value, CAST(NULL AS VARCHAR) AS type "
+            f"FROM {w} GROUP BY ws"
+        )
+    for p in patterns:
+        t = (column_types or {}).get(p.column)
+        t_sql = _duck_str(t) if t is not None else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT {fmt_ws} AS window_start, {fmt_we} AS window_end, "
+            f"'Column' AS entity, {_duck_str(p.column)} AS instance, "
+            f"{_duck_str('PatternMatch.' + p.name)} AS name, "
+            f"CAST(SUM(CASE WHEN {p.column} IS NOT NULL AND "
+            f"regexp_matches({p.column}, {_duck_str(p.pattern)}) "
+            f"THEN 1 ELSE 0 END) AS DOUBLE) / COUNT({p.column}) AS value, "
+            f"{t_sql} AS type FROM {w} GROUP BY ws"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def default_events_rules() -> tuple[list[ComplianceRule], list[PatternRule]]:
+    """The registered windowed-compliance suite over the events stream."""
+    rules = [
+        ComplianceRule("value_positive", "value > 0"),
+        ComplianceRule(
+            "known_type",
+            "event_type IN ('click', 'view', 'error', 'purchase', 'signup')",
+        ),
+        ComplianceRule("conversion", "event_type = 'purchase'"),
+    ]
+    patterns = [
+        PatternRule("props_object", "props", "^\\{.*\\}$"),
+        PatternRule("props_has_digit", "props", "[0-9]"),
+    ]
+    return rules, patterns

@@ -164,3 +164,82 @@ def windowed_profile_stream(
         F.col("w.end").alias("window_end"),
         F.explode(F.array(*structs)).alias("kv"),
     ).select(*WINDOW_COLS, "kv.*")
+
+
+def windowed_compliance(
+    df: DataFrame,
+    ts_col: str,
+    rules=(),
+    patterns=(),
+    window_duration: str = "1 day",
+) -> DataFrame:
+    """Per tumbling window: the Compliance/PatternMatch rule fractions
+    (operators/compliance.py semantics) — windowed data-quality
+    monitoring over an event stream.
+
+    One grouped agg over one scan: every rule is a conditional-count
+    expression in the same ``groupBy(window(ts))``; shuffle bytes ~
+    windows x rules, independent of row count (map-side combine). The
+    streaming form (windowed_compliance_stream) is the same aggregation
+    under a watermark.
+    """
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_str
+
+    exprs: list[Column] = []
+    structs: list[Column] = []
+    for i, r in enumerate(rules):
+        a = f"c{i}"
+        exprs.append(
+            F.expr(
+                f"try_divide(sum(CASE WHEN ({r.predicate_sql}) THEN 1 ELSE 0 END),"
+                f" count(1))"
+            ).alias(a)
+        )
+        structs.append(
+            metric_struct("Dataset", r.name, "Compliance", F.col(a), None)
+        )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for i, p in enumerate(patterns):
+        a = f"p{i}"
+        q = sql_ident(p.column)
+        exprs.append(
+            F.expr(
+                f"try_divide(sum(CASE WHEN {q} IS NOT NULL AND "
+                f"{q} RLIKE {sql_str(p.pattern)} THEN 1 ELSE 0 END), count({q}))"
+            ).alias(a)
+        )
+        structs.append(
+            metric_struct(
+                "Column", p.column, f"PatternMatch.{p.name}", F.col(a),
+                types.get(p.column),
+            )
+        )
+    grouped = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(*exprs)
+    )
+    return grouped.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.explode(F.array(*structs)).alias("kv"),
+    ).select("window_start", "window_end", "kv.*")
+
+
+def windowed_compliance_stream(
+    stream: DataFrame,
+    ts_col: str,
+    rules=(),
+    patterns=(),
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming form: identical aggregation under a watermark (append
+    mode emits each window's fractions once finalized)."""
+    return windowed_compliance(
+        stream.withWatermark(ts_col, watermark),
+        ts_col,
+        rules,
+        patterns,
+        window_duration,
+    )

@@ -154,3 +154,60 @@ def test_streaming_matches_batch(spark, tmp_path):
             assert v == got[k], k
         else:
             assert math.isclose(v, got[k], rel_tol=1e-12), (k, v, got[k])
+
+
+def test_windowed_compliance_values(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.compliance import ComplianceRule, PatternRule
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import windowed_compliance
+
+    df = _mk_events(spark)
+    m = windowed_compliance(
+        df,
+        "ts",
+        rules=[ComplianceRule("v_big", "v > 2")],
+        patterns=[PatternRule("multi", "s", "^.{2,}$")],
+        window_duration="1 hour",
+    )
+    got = _key(m.collect())
+    # window 0: v in (1,3) -> 1/2 pass; s in (a, bb) -> 1/2 match
+    assert got[("2024-01-01 00:00:00", "v_big", "Compliance")] == 0.5
+    assert got[("2024-01-01 00:00:00", "s", "PatternMatch.multi")] == 0.5
+    # window 1: v in (10, NULL) -> 1/2 rows pass (NULL fails);
+    # s non-null: (cccc) -> 1/1
+    assert got[("2024-01-01 01:00:00", "v_big", "Compliance")] == 0.5
+    assert got[("2024-01-01 01:00:00", "s", "PatternMatch.multi")] == 1.0
+
+
+def test_windowed_compliance_streaming_matches_batch(spark, tmp_path):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.compliance import ComplianceRule
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import (
+        windowed_compliance,
+        windowed_compliance_stream,
+    )
+
+    df = _mk_events(spark)
+    src = str(tmp_path / "src_wc")
+    ckpt = str(tmp_path / "ckpt_wc")
+    df.coalesce(1).write.parquet(src)
+    rules = [ComplianceRule("v_big", "v > 2")]
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = windowed_compliance_stream(
+        stream, "ts", rules, window_duration="1 hour", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_compliance")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = _key(spark.table("win_compliance").collect())
+    batch = _key(windowed_compliance(df, "ts", rules, (), "1 hour").collect())
+    # append mode finalizes a window once the watermark passes its END;
+    # the last window (max event time falls inside it) stays open.
+    last_ws = max(k[0] for k in batch)
+    closed = {k: v for k, v in batch.items() if k[0] != last_ws}
+    assert streamed == closed
