@@ -654,6 +654,25 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+PROJ_DIM = 8
+
+
+def _project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection to 8 dims: broadcast literal planes, map-side
+    folds, zero shuffle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.projection import project_embeddings
+
+    return project_embeddings(_t(spark, sf_dir, "embeddings"), PROJ_DIM)
+
+
+def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style quantization: per-dim bounds from one fused stats pass,
+    map-side scaling."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.projection import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"), EMB_DIM)
+
+
 _CONTAM_CORPUS_SQL = "SELECT * FROM documents WHERE doc_id % 10 != 0"
 _CONTAM_BENCH_SQL = "SELECT * FROM documents WHERE doc_id % 5 = 0"
 
@@ -913,6 +932,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": _table_diff_orders,
         "diff_summary_orders": _diff_summary_orders,
         "contamination_documents": _contamination_documents,
+        "project_embeddings": _project_embeddings,
+        "quantize_embeddings": _quantize_embeddings,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -1015,6 +1036,12 @@ def _extension_oracles() -> dict[str, str]:
         "contamination_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.contamination", fromlist=["x"]
         ).contamination_sql(_CONTAM_CORPUS_SQL, _CONTAM_BENCH_SQL),
+        "project_embeddings": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.projection", fromlist=["x"]
+        ).project_embeddings_sql("embeddings", PROJ_DIM),
+        "quantize_embeddings": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.projection", fromlist=["x"]
+        ).quantize_embeddings_sql("embeddings", EMB_DIM),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
