@@ -654,6 +654,18 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+PSI_COLS_ORDERS = ["o_totalprice", "o_custkey", "o_orderkey"]
+
+
+def _psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) of the open-orders slice vs all orders:
+    reference bounds fixed as plan-time literals, fused count streams."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.psi import psi
+
+    df = _t(spark, sf_dir, "orders")
+    return psi(df, df.where(F.col("o_orderstatus") == "O"), PSI_COLS_ORDERS)
+
+
 PROJ_DIM = 8
 
 
@@ -934,6 +946,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": _contamination_documents,
         "project_embeddings": _project_embeddings,
         "quantize_embeddings": _quantize_embeddings,
+        "psi_orders": _psi_orders,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -1042,6 +1055,13 @@ def _extension_oracles() -> dict[str, str]:
         "quantize_embeddings": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.projection", fromlist=["x"]
         ).quantize_embeddings_sql("embeddings", EMB_DIM),
+        "psi_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.psi", fromlist=["x"]
+        ).psi_sql(
+            "SELECT * FROM orders",
+            "SELECT * FROM orders WHERE o_orderstatus = 'O'",
+            PSI_COLS_ORDERS,
+        ),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),

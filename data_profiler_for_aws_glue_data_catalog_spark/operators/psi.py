@@ -1,0 +1,166 @@
+"""Population Stability Index: distribution drift between snapshots.
+
+profile_diff compares scalar metrics; PSI compares DISTRIBUTIONS — the
+standard ML-monitoring score for "has this feature's distribution
+shifted between the reference window and today":
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+over equi-width buckets fixed by the REFERENCE side's min/max (the
+production convention: the baseline defines the binning; new
+out-of-range values clamp into the edge buckets). Zero-count buckets
+are smoothed with eps so the log stays finite — the standard PSI
+recipe. Rule of thumb: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+action.
+
+Plan shape: one tiny fused pass on the reference fixes the bounds as
+plan-time literals; then ONE aggregation per side computes all bucket
+counts as conditional-count streams (no shuffle beyond two single-row
+exchanges — the numeric_histogram fused-count-stream strategy); the
+PSI finish is driver-free arithmetic on the two 1-row frames joined by
+a broadcast cross join.
+
+Determinism: bucket assignment is integer floor arithmetic over fixed
+literals; probabilities and log terms are fixed double expressions
+over exact counts, ROUND6'd — the DuckDB mirror reproduces bounds via
+scalar subqueries over the same reference data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_ident
+
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+EPS = 1e-6
+
+PSI_COLS = ["column", "n_bins", "psi", "drift_class"]
+
+
+def _bucket_expr(x: str, mn: float, mx: float, bins: int, spark: bool) -> str:
+    """Clamped equi-width bucket index 0..bins-1 (identical text in both
+    dialects modulo least/greatest names, which match)."""
+    w = (mx - mn) / bins
+    raw = f"CAST(floor((({x}) - {mn!r}) / {w!r}) AS INT)"
+    return f"least(greatest({raw}, 0), {bins - 1})"
+
+
+def psi(
+    reference: DataFrame,
+    current: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """(column, n_bins, psi, drift_class) per numeric column; NULL psi
+    when the reference is empty/constant (no binnable distribution)."""
+    if not columns:
+        raise ValueError("psi: need at least one column")
+    bounds_row = reference.selectExpr(
+        *[
+            e
+            for c in columns
+            for e in (
+                f"min(cast({sql_ident(c)} AS double)) AS mn_{_a(c, columns)}",
+                f"max(cast({sql_ident(c)} AS double)) AS mx_{_a(c, columns)}",
+            )
+        ]
+    ).first()
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        exprs = []
+        for c in columns:
+            i = _a(c, columns)
+            mn, mx = bounds_row[f"mn_{i}"], bounds_row[f"mx_{i}"]
+            x = f"cast({sql_ident(c)} AS double)"
+            exprs.append(f"count({x}) AS {tag}n_{i}")
+            if mn is None or mx is None or mx == mn:
+                continue
+            b = _bucket_expr(x, mn, mx, bins, spark=True)
+            for k in range(bins):
+                exprs.append(
+                    f"count(CASE WHEN {x} IS NOT NULL AND {b} = {k} "
+                    f"THEN 1 END) AS {tag}c_{i}_{k}"
+                )
+        return df.selectExpr(*exprs)
+
+    ref_counts = counts(reference, "r")
+    cur_counts = counts(current, "c")
+    joined = ref_counts.crossJoin(F.broadcast(cur_counts))
+
+    structs = []
+    for c in columns:
+        i = _a(c, columns)
+        mn, mx = bounds_row[f"mn_{i}"], bounds_row[f"mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            psi_sql = "CAST(NULL AS double)"
+        else:
+            terms = []
+            for k in range(bins):
+                p = f"(cast(rc_{i}_{k} AS double) / cast(rn_{i} AS double) + {EPS!r})"
+                q = f"(cast(cc_{i}_{k} AS double) / cast(cn_{i} AS double) + {EPS!r})"
+                terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
+            psi_sql = " + ".join(terms)
+        cls = (
+            f"CASE WHEN ({psi_sql}) IS NULL THEN 'undefined' "
+            f"WHEN ({psi_sql}) < 0.1 THEN 'stable' "
+            f"WHEN ({psi_sql}) < 0.25 THEN 'moderate' "
+            "ELSE 'shifted' END"
+        )
+        structs.append(
+            f"named_struct('column', '{c}', 'n_bins', {bins}, "
+            f"'psi', cast({ROUND6.format(x=psi_sql)} AS double), "
+            f"'drift_class', {cls})"
+        )
+    return joined.selectExpr(
+        f"inline(array({', '.join(structs)}))"
+    ).select(*PSI_COLS)
+
+
+def _a(c: str, columns: list[str]) -> int:
+    return columns.index(c)
+
+
+def psi_sql(
+    reference_sql: str,
+    current_sql: str,
+    columns: list[str],
+    bins: int = 10,
+) -> str:
+    """DuckDB mirror: bounds via scalar subqueries over the reference."""
+    parts = []
+    for c in columns:
+        x = f"CAST({c} AS DOUBLE)"
+        mn = f"(SELECT MIN({x}) FROM ref)"
+        mx = f"(SELECT MAX({x}) FROM ref)"
+        raw = f"CAST(floor((({x}) - {mn}) / (({mx} - {mn}) / {bins}) ) AS INT)"
+        b = f"least(greatest({raw}, 0), {bins - 1})"
+        terms = []
+        for k in range(bins):
+            p = (
+                f"(CAST((SELECT count(CASE WHEN {x} IS NOT NULL AND {b} = {k} THEN 1 END) FROM ref) AS DOUBLE)"
+                f" / CAST((SELECT count({x}) FROM ref) AS DOUBLE) + {EPS!r})"
+            )
+            q = (
+                f"(CAST((SELECT count(CASE WHEN {x} IS NOT NULL AND {b} = {k} THEN 1 END) FROM cur) AS DOUBLE)"
+                f" / CAST((SELECT count({x}) FROM cur) AS DOUBLE) + {EPS!r})"
+            )
+            terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
+        psi_expr = " + ".join(terms)
+        guard = f"{mx} IS NULL OR {mx} = {mn}"
+        psi_v = f"CASE WHEN {guard} THEN NULL ELSE {psi_expr} END"
+        cls = (
+            f"CASE WHEN ({psi_v}) IS NULL THEN 'undefined' "
+            f"WHEN ({psi_v}) < 0.1 THEN 'stable' "
+            f"WHEN ({psi_v}) < 0.25 THEN 'moderate' "
+            "ELSE 'shifted' END"
+        )
+        parts.append(
+            f"SELECT '{c}' AS column, {bins} AS n_bins, "
+            f"CAST({ROUND6.format(x=psi_v)} AS DOUBLE) AS psi, "
+            f"{cls} AS drift_class"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH ref AS ({reference_sql}), cur AS ({current_sql})\n{body}"
