@@ -654,6 +654,24 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: one groupBy + sorted-array
+    fold (no per-step self-joins); oracle is the staged relational
+    formulation."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def _funnel_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel_summary
+
+    return funnel_summary(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
 PSI_COLS_ORDERS = ["o_totalprice", "o_custkey", "o_orderkey"]
 
 
@@ -947,6 +965,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_embeddings": _project_embeddings,
         "quantize_embeddings": _quantize_embeddings,
         "psi_orders": _psi_orders,
+        "funnel_events": _funnel_events,
+        "funnel_summary_events": _funnel_summary_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -1062,6 +1082,12 @@ def _extension_oracles() -> dict[str, str]:
             "SELECT * FROM orders WHERE o_orderstatus = 'O'",
             PSI_COLS_ORDERS,
         ),
+        "funnel_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.funnel", fromlist=["x"]
+        ).funnel_sql("events", FUNNEL_STEPS),
+        "funnel_summary_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.funnel", fromlist=["x"]
+        ).funnel_summary_sql("events", FUNNEL_STEPS),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),

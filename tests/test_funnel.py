@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators import funnel as FN
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(seconds=s), t) for u, s, t in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _stages(spark, rows):
+    return {
+        r.entity_id: r.stages_reached
+        for r in FN.funnel(_ev(spark, rows), STEPS).collect()
+    }
+
+
+def test_full_funnel_in_order(spark):
+    rows = [(1, 0, "view"), (1, 10, "click"), (1, 20, "purchase")]
+    assert _stages(spark, rows) == {1: 3}
+
+
+def test_out_of_order_does_not_count(spark):
+    # purchase before click: funnel stops at click
+    rows = [(1, 0, "view"), (1, 5, "purchase"), (1, 10, "click")]
+    assert _stages(spark, rows) == {1: 2}
+
+
+def test_strictly_after_ties_do_not_advance(spark):
+    rows = [(1, 0, "view"), (1, 0, "click")]  # same second
+    assert _stages(spark, rows) == {1: 1}
+
+
+def test_first_match_semantics(spark):
+    # click at t=5 (before first view at t=10) doesn't count;
+    # the later click at t=20 does
+    rows = [(1, 5, "click"), (1, 10, "view"), (1, 20, "click")]
+    assert _stages(spark, rows) == {1: 2}
+
+
+def test_entity_without_step_one(spark):
+    rows = [(1, 0, "click"), (2, 0, "view")]
+    assert _stages(spark, rows) == {1: 0, 2: 1}
+
+
+def test_summary_counts_and_conversion(spark):
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (2, 0, "view"), (2, 1, "click"),
+        (3, 0, "view"),
+        (4, 0, "error"),
+    ]
+    got = {
+        r.stage: (r.n_entities, r.conversion)
+        for r in FN.funnel_summary(_ev(spark, rows), STEPS).collect()
+    }
+    assert got[1] == (3, pytest.approx(0.75))
+    assert got[2] == (2, pytest.approx(0.5))
+    assert got[3] == (1, pytest.approx(0.25))
+
+
+def test_one_shuffle(spark, lineitem):
+    df = _ev(spark, [(i % 5, i, "view") for i in range(100)])
+    plan = FN.funnel(df, STEPS)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
