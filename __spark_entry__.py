@@ -654,6 +654,14 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+def _cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-by-first-seen-day retention matrix: two shuffles total
+    (cohort min + distinct activity), broadcast cohort sizes."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.retention import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -967,6 +975,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_orders": _psi_orders,
         "funnel_events": _funnel_events,
         "funnel_summary_events": _funnel_summary_events,
+        "cohort_retention_events": _cohort_retention_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "profile_drift_orders": _profile_drift_orders,
     }
@@ -1088,6 +1097,9 @@ def _extension_oracles() -> dict[str, str]:
         "funnel_summary_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.funnel", fromlist=["x"]
         ).funnel_summary_sql("events", FUNNEL_STEPS),
+        "cohort_retention_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.retention", fromlist=["x"]
+        ).cohort_retention_sql("events"),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
