@@ -581,6 +581,20 @@ def _profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_diff(old, new)
 
 
+def _rollup_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment profile + the '<all>' total level in one pass: df.rollup
+    plans GROUPING SETS ((key), ()) through a single Expand."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import rollup_profile
+
+    m = rollup_profile(_t(spark, sf_dir, "customer"), "c_mktsegment")
+    return m.withColumn(
+        "value",
+        F.when(
+            F.col("name").isin(*ROUNDED_METRICS), F.round(F.col("value"), 6)
+        ).otherwise(F.col("value")),
+    )
+
+
 def _profile_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented profile: the fused metric set per c_mktsegment value."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import grouped_profile
@@ -977,6 +991,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_summary_events": _funnel_summary_events,
         "cohort_retention_events": _cohort_retention_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
+        "rollup_profile_customer": _rollup_profile_customer,
         "profile_drift_orders": _profile_drift_orders,
     }
 
@@ -1104,6 +1119,9 @@ def _extension_oracles() -> dict[str, str]:
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),
         "profile_customer_by_segment": O.grouped_profile_sql(
+            "customer", "c_mktsegment"
+        ),
+        "rollup_profile_customer": O.rollup_profile_sql(
             "customer", "c_mktsegment"
         ),
         "profile_drift_orders": PD.profile_diff_sql(

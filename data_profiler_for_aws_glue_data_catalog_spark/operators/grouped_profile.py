@@ -59,3 +59,36 @@ def grouped_profile(
     return grouped.select(
         "group_value", F.explode(F.array(*structs)).alias("kv")
     ).select("group_value", "kv.*").select(*GROUPED_COLS)
+
+
+def rollup_profile(
+    df: DataFrame,
+    group_col: str,
+    config: ProfilerConfig | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Segmented profile + the all-rows level in ONE pass.
+
+    ``df.rollup(key)`` plans GROUPING SETS ((key), ()) through a single
+    Expand over one scan — per-segment rows plus a total row labeled
+    ``<all>``, without a second aggregation job. ``grouping()``
+    disambiguates the total level from a genuine NULL segment (which
+    keeps its NULL group_value).
+    """
+    config = config or ProfilerConfig()
+    exprs, structs = _windowed_aggs(df, group_col, config, approx_distinct)
+    # grouping() must reference an attribute of the rollup list, so the
+    # cast is materialized as a named column first.
+    with_gv = df.withColumn("_gv", F.col(group_col).cast("string"))
+    grouped = with_gv.rollup("_gv").agg(
+        F.expr("grouping(_gv)").alias("_lvl"), *exprs
+    )
+    gv = F.when(F.col("_lvl") == 1, F.lit("<all>")).otherwise(F.col("_gv"))
+    return (
+        grouped.select(
+            gv.alias("group_value"),
+            F.explode(F.array(*structs)).alias("kv"),
+        )
+        .select("group_value", "kv.*")
+        .select(*GROUPED_COLS)
+    )

@@ -429,3 +429,41 @@ WITH g AS (SELECT *, CAST({group_col} AS VARCHAR) AS gv FROM {table})
 SELECT gv AS group_value, entity, instance, name, value, type
 FROM ({body})
 """
+
+
+def rollup_profile_sql(table: str, group_col: str) -> str:
+    """Oracle for operators.rollup_profile: the grouped profile UNION the
+    all-rows level labeled '<all>' (same metric set, key excluded)."""
+    branches = [
+        _row("Dataset", "*", "Size", "CAST(COUNT(*) AS DOUBLE)", None)
+        + f" FROM {table}"
+    ]
+
+    def add(entity, instance, name, value_sql, typ):
+        branches.append(
+            _row(entity, instance, name, value_sql, typ) + f" FROM {table}"
+        )
+
+    for c, kind, typ in TABLE_COLUMNS[table]:
+        if c == group_col:
+            continue
+        add("Column", c, "Completeness",
+            f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)", typ)
+        if kind == NUM:
+            add("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ)
+            add("Column", c, "Minimum", f"CAST(MIN({c}) AS DOUBLE)", typ)
+            add("Column", c, "Sum", _sum_dec(c), typ)
+            add("Column", c, "Mean", _mean_sql(c), typ)
+            add("Column", c, "StandardDeviation", _stddev_sql(c), typ)
+        else:
+            add("Column", c, "MaxLength",
+                f"CAST(MAX(LENGTH({c})) AS DOUBLE)", typ)
+            add("Column", c, "MinLength",
+                f"CAST(MIN(LENGTH({c})) AS DOUBLE)", typ)
+    total = "\nUNION ALL\n".join(branches)
+    return f"""
+SELECT * FROM ({grouped_profile_sql(table, group_col)})
+UNION ALL
+SELECT '<all>' AS group_value, entity, instance, name, value, type
+FROM ({total})
+"""

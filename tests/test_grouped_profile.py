@@ -38,3 +38,46 @@ def test_one_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_rollup_profile_adds_total_level(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import (
+        grouped_profile,
+        rollup_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), (None, 100.0)],
+        "g string, v double",
+    )
+    rolled = rollup_profile(df, "g")
+    seg = {
+        (r.group_value, r.name): r.value
+        for r in rolled.where("group_value IS DISTINCT FROM '<all>'").collect()
+    }
+    tot = {
+        r.name: r.value
+        for r in rolled.where("group_value = '<all>'").collect()
+    }
+    base = {
+        (r.group_value, r.name): r.value
+        for r in grouped_profile(df, "g").collect()
+    }
+    assert seg == base  # segment level identical to grouped_profile
+    assert tot["Size"] == 4.0  # total level covers every row
+    assert tot["Mean"] == 28.5
+    # NULL segment is distinct from the total level
+    assert (None, "Size") in seg and seg[(None, "Size")] == 1.0
+
+
+def test_rollup_profile_single_pass(spark, lineitem):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import rollup_profile
+
+    plan = (
+        rollup_profile(lineitem, "l_returnflag")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1  # one pass for both levels
+    assert "Expand" in plan  # GROUPING SETS shape
