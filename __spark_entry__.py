@@ -668,6 +668,19 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+def _join_size_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-join size prediction from the two key frequency
+    relations — cheaper than the join it predicts."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.join_stats import join_size_estimate
+
+    return join_size_estimate(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
 def _cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-by-first-seen-day retention matrix: two shuffles total
     (cohort min + distinct activity), broadcast cohort sizes."""
@@ -990,6 +1003,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": _funnel_events,
         "funnel_summary_events": _funnel_summary_events,
         "cohort_retention_events": _cohort_retention_events,
+        "join_size_orders_lineitem": _join_size_orders_lineitem,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "rollup_profile_customer": _rollup_profile_customer,
         "profile_drift_orders": _profile_drift_orders,
@@ -1115,6 +1129,12 @@ def _extension_oracles() -> dict[str, str]:
         "cohort_retention_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.retention", fromlist=["x"]
         ).cohort_retention_sql("events"),
+        "join_size_orders_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.join_stats", fromlist=["x"]
+        ).join_size_estimate_sql(
+            "SELECT * FROM orders", "SELECT * FROM lineitem",
+            "o_orderkey", "l_orderkey",
+        ),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),

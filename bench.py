@@ -109,6 +109,14 @@ def main() -> None:
         "diff_summary_orders",
         "metric_changes",
         "contamination_documents",
+        "compliance_events_windowed",
+        "project_embeddings",
+        "quantize_embeddings",
+        "psi_orders",
+        "funnel_events",
+        "funnel_summary_events",
+        "cohort_retention_events",
+        "rollup_profile_customer",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

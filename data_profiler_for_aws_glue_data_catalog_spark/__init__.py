@@ -15,11 +15,18 @@ profiler for the Glue Data Catalog) as an idiomatic PySpark engine:
 - sinks mirror the reference's two outputs: partitioned Parquet and a
   delete-then-upsert parameter catalog (Glue.java:38-151);
 - beyond the reference surface: deduplication (exact / MinHash-LSH / SimHash
-  / n-gram Jaccard / embedding-cosine), similarity search (exact / IVF /
-  signed-projection LSH), text analysis, multimodal column plumbing,
-  streaming profiles, constraint verification + suggestion, metric-history
-  anomaly detection, numeric histograms, correlation matrices and segmented
-  (per-group) profiles — designed for 100 TB-scale partitioned execution.
+  / n-gram Jaccard / embedding-cosine) with connected-component cluster
+  resolution, similarity search (exact / IVF / signed-projection LSH),
+  embedding profiling/projection/quantization, text analysis, benchmark
+  contamination, multimodal column plumbing, streaming + windowed profiles
+  and compliance, incremental profiling over mergeable states, constraint
+  verification + suggestion, rule analyzers (Compliance / PatternMatch /
+  MutualInformation / DataType inference), metric-history anomaly detection
+  (z-score + change strategies), PSI distribution drift, numeric histograms,
+  correlation matrices, segmented/rollup profiles, key-skew diagnostics,
+  candidate-key discovery, grouped quantiles, JSON payload profiling,
+  rolling windows, snapshot diffs, funnels and cohort retention — designed
+  for 100 TB-scale partitioned execution.
 """
 
 from data_profiler_for_aws_glue_data_catalog_spark.config import ProfilerConfig
