@@ -668,6 +668,14 @@ def _compliance_oracle() -> str:
     return CP.compliance_sql("orders", rules, pats, types)
 
 
+def _trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 event types per 1-day window: one grouped count + bounded
+    rank over the grouped relation."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.trending import trending_keys
+
+    return trending_keys(_t(spark, sf_dir, "events"))
+
+
 def _join_size_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact inner-join size prediction from the two key frequency
     relations — cheaper than the join it predicts."""
@@ -1004,6 +1012,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_summary_events": _funnel_summary_events,
         "cohort_retention_events": _cohort_retention_events,
         "join_size_orders_lineitem": _join_size_orders_lineitem,
+        "trending_events": _trending_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "rollup_profile_customer": _rollup_profile_customer,
         "profile_drift_orders": _profile_drift_orders,
@@ -1135,6 +1144,9 @@ def _extension_oracles() -> dict[str, str]:
             "SELECT * FROM orders", "SELECT * FROM lineitem",
             "o_orderkey", "l_orderkey",
         ),
+        "trending_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.trending", fromlist=["x"]
+        ).trending_keys_sql("events"),
         "mutual_info_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info", fromlist=["x"]
         ).mutual_information_sql("lineitem", MI_PAIRS),

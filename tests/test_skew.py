@@ -51,3 +51,25 @@ def test_multi_key_single_shuffle(spark, lineitem):
         .toString()
     )
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+
+
+def test_trending_keys_per_window(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.trending import trending_keys
+
+    d1, d2 = dt.datetime(2026, 1, 1, 10), dt.datetime(2026, 1, 2, 10)
+    rows = (
+        [(d1, "a")] * 3 + [(d1, "b")] * 2 + [(d1, "c")]
+        + [(d2, "b")] * 4 + [(d2, "a")]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        (r.window_start, r.rank): (r.key_value, r.cnt)
+        for r in trending_keys(df, k=2).collect()
+    }
+    assert got[("2026-01-01 00:00:00", 1)] == ("a", 3)
+    assert got[("2026-01-01 00:00:00", 2)] == ("b", 2)
+    assert got[("2026-01-02 00:00:00", 1)] == ("b", 4)
+    assert got[("2026-01-02 00:00:00", 2)] == ("a", 1)
+    assert len(got) == 4  # k=2 caps each window
