@@ -642,6 +642,17 @@ def _compliance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.compliance_metrics(_t(spark, sf_dir, "orders"), rules, pats)
 
 
+def _violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule example violations: the 5 lowest-key orders failing each
+    compliance rule, one scan + a violations-only bounded rank."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import compliance as CP
+
+    rules, _ = CP.default_orders_rules()
+    return CP.violation_samples(
+        _t(spark, sf_dir, "orders"), rules, "o_orderkey", k=5
+    )
+
+
 def _mutual_info_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ MutualInformation analyzer over 3 categorical lineitem pairs."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.mutual_info import mutual_information
@@ -658,6 +669,13 @@ def _correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators import correlation as CR
 
     return CR.correlation_matrix(_t(spark, sf_dir, "lineitem"), CORR_COLS)
+
+
+def _violation_samples_oracle() -> str:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import compliance as CP
+
+    rules, _ = CP.default_orders_rules()
+    return CP.violation_samples_sql("orders", rules, "o_orderkey", k=5)
 
 
 def _compliance_oracle() -> str:
@@ -992,6 +1010,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
         "correlation_lineitem": _correlation_lineitem,
         "compliance_orders": _compliance_orders,
+        "violation_samples_orders": _violation_samples_orders,
         "mutual_info_lineitem": _mutual_info_lineitem,
         "vector_dim_stats": _vector_dim_stats,
         "vector_norm_stats": _vector_norm_stats,
@@ -1078,6 +1097,7 @@ def _extension_oracles() -> dict[str, str]:
         ),
         "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
         "compliance_orders": _compliance_oracle(),
+        "violation_samples_orders": _violation_samples_oracle(),
         "vector_dim_stats": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats", fromlist=["x"]
         ).vector_dim_stats_sql("embeddings", EMB_DIM),

@@ -218,3 +218,63 @@ def default_events_rules() -> tuple[list[ComplianceRule], list[PatternRule]]:
         PatternRule("props_has_digit", "props", "[0-9]"),
     ]
     return rules, patterns
+
+
+def violation_samples(
+    df: DataFrame,
+    rules: list[ComplianceRule],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Example violating rows per rule: the k LOWEST-id rows failing each
+    predicate (NULL predicate = violation, compliance semantics) — the
+    triage companion to the fraction metrics.
+
+    One scan: every rule's verdict evaluates per row in a single
+    projection; failing (rule, id) pairs explode and a per-rule bounded
+    rank keeps k examples. The rank window shuffles only VIOLATING
+    pairs — for near-clean tables that is ~nothing; for a rule that
+    fails wholesale the shuffle is rule-partitioned and AQE-coalesced
+    (alternative at the extreme: per-rule orderBy().limit(k) probes,
+    k-bounded but one scan per rule).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not rules:
+        raise ValueError("violation_samples: no rules given")
+    structs = ", ".join(
+        f"named_struct('rule', {sql_str(r.name)}, "
+        f"'fail', NOT coalesce(({r.predicate_sql}), false))"
+        for r in rules
+    )
+    pairs = (
+        df.selectExpr(
+            f"{sql_ident(id_col)} AS id",
+            f"inline(array({structs}))",
+        )
+        .where("fail")
+        .select("rule", "id")
+    )
+    w = Window.partitionBy("rule").orderBy(F.asc("id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("rule", "id")
+    )
+
+
+def violation_samples_sql(
+    table: str,
+    rules: list[ComplianceRule],
+    id_col: str,
+    k: int = 5,
+) -> str:
+    """DuckDB mirror: per-rule ordered LIMIT probes."""
+    parts = [
+        f"SELECT {_duck_str(r.name)} AS rule, {id_col} AS id FROM {table} "
+        f"WHERE NOT COALESCE(({r.predicate_sql}), FALSE) "
+        f"ORDER BY {id_col} LIMIT {k}"
+        for r in rules
+    ]
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)

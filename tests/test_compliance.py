@@ -101,3 +101,33 @@ def test_mi_nonnegative_and_bounded_by_entropy(spark, lineitem):
         ).collect()[0].h
         ents.append(h)
     assert -1e-9 <= r.mutual_information <= min(ents) + 1e-6
+
+
+def test_violation_samples_lowest_ids(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id bigint, v double"
+    )
+    got = CP.violation_samples(
+        df, [CP.ComplianceRule("v_big", "v > 7")], "id", k=3
+    ).collect()
+    assert sorted((r.rule, r.id) for r in got) == [
+        ("v_big", 1), ("v_big", 2), ("v_big", 3)
+    ]
+
+
+def test_violation_samples_null_predicate_fails(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "id bigint, v double")
+    got = CP.violation_samples(
+        df, [CP.ComplianceRule("v_pos", "v > 0")], "id"
+    ).collect()
+    assert [(r.rule, r.id) for r in got] == [("v_pos", 1)]
+
+
+def test_violation_samples_clean_rule_empty(spark):
+    df = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    got = CP.violation_samples(
+        df,
+        [CP.ComplianceRule("ok", "v > 0"), CP.ComplianceRule("bad", "v > 9")],
+        "id",
+    ).collect()
+    assert [(r.rule, r.id) for r in got] == [("bad", 1)]
