@@ -920,6 +920,29 @@ def _vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_norm_stats(_t(spark, sf_dir, "embeddings"), EMB_DIM)
 
 
+FK_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ref_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK containment for the TPC-H star schema: aggregate-then-join per
+    pair, all pairs one lazy union (one action)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.ref_integrity import (
+        referential_integrity_report,
+    )
+
+    pairs = [
+        (_t(spark, sf_dir, ft), fk, _t(spark, sf_dir, dt_), pk, ft, dt_)
+        for ft, fk, dt_, pk in FK_PAIRS
+    ]
+    return referential_integrity_report(spark, pairs)
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -1035,6 +1058,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_customer_by_segment": _profile_customer_by_segment,
         "rollup_profile_customer": _rollup_profile_customer,
         "profile_drift_orders": _profile_drift_orders,
+        "ref_integrity_tpch": _ref_integrity_report,
     }
 
 
@@ -1183,6 +1207,14 @@ def _extension_oracles() -> dict[str, str]:
                 expensive=False,
                 from_sql="(SELECT * FROM orders WHERE o_orderstatus = 'O')",
             ),
+        ),
+        "ref_integrity_tpch": "\nUNION ALL\n".join(
+            "SELECT * FROM (\n{}\n)".format(
+                __import__(
+                    "data_profiler_for_aws_glue_data_catalog_spark.operators.ref_integrity", fromlist=["x"]
+                ).referential_integrity_sql(ft, fk, dt_, pk)
+            )
+            for ft, fk, dt_, pk in FK_PAIRS
         ),
     }
 
