@@ -943,6 +943,38 @@ def _ref_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return referential_integrity_report(spark, pairs)
 
 
+FD_DEPS = ["o_orderstatus", "o_orderdate", "o_orderpriority", "o_totalprice"]
+
+# NULLIF-derived nulls so the pattern histogram has real structure even on
+# the null-free synthetic tables (oracle mirrors the same derivation).
+NP_DERIVE = [
+    ("etype", "NULLIF(event_type, 'click')"),
+    ("val", "CASE WHEN value < 0.5 THEN NULL ELSE value END"),
+    ("uid", "NULLIF(user_id % 7, 0)"),
+]
+
+
+def _fd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.fd import fd_strength
+
+    return fd_strength(_t(spark, sf_dir, "orders"), "o_custkey", FD_DEPS)
+
+
+def _null_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.null_patterns import null_patterns
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        *[f"{expr} AS {name}" for name, expr in NP_DERIVE]
+    )
+    return null_patterns(ev, [name for name, _ in NP_DERIVE])
+
+
+def _transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.transitions import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -1059,6 +1091,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_profile_customer": _rollup_profile_customer,
         "profile_drift_orders": _profile_drift_orders,
         "ref_integrity_tpch": _ref_integrity_report,
+        "fd_strength_orders": _fd_orders,
+        "null_patterns_events": _null_patterns_events,
+        "transition_matrix_events": _transition_matrix_events,
     }
 
 
@@ -1216,6 +1251,20 @@ def _extension_oracles() -> dict[str, str]:
             )
             for ft, fk, dt_, pk in FK_PAIRS
         ),
+        "fd_strength_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.fd", fromlist=["x"]
+        ).fd_strength_sql("orders", "o_custkey", FD_DEPS),
+        "null_patterns_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.null_patterns", fromlist=["x"]
+        ).null_patterns_sql(
+            "(SELECT "
+            + ", ".join(f"{expr} AS {name}" for name, expr in NP_DERIVE)
+            + " FROM events)",
+            [name for name, _ in NP_DERIVE],
+        ),
+        "transition_matrix_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
+        ).transition_matrix_sql("events"),
     }
 
 

@@ -1,0 +1,103 @@
+"""Event-sequence transition matrix (first-order Markov view).
+
+For each entity's time-ordered event stream, count consecutive
+(from_state -> to_state) pairs and the conditional probability
+P(to | from) — the standard clickstream / user-journey transition
+matrix.
+
+Plan shape:
+1. ONE window shuffle keyed by entity (`lag(state)` over
+   ``partitionBy(entity).orderBy(ts, id)`` — the id tie-break makes the
+   ordering, and therefore the matrix, deterministic under equal
+   timestamps).
+2. ONE `groupBy(from, to)` shuffle over |states|^2-cardinality keys
+   (combine-friendly, tiny output).
+3. per-from totals derive from the pair counts themselves (window sum
+   over the already-small matrix), NOT a third pass over the data.
+
+Scale notes (100 TB): the entity window is the only data-sized
+shuffle; hot entities are bounded by per-entity event counts, not key
+skew across entities. States are typically low-cardinality, so stages
+2-3 are negligible at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+TRANSITION_COLS = [
+    "from_state", "to_state", "n_transitions", "n_from_total", "probability",
+]
+
+
+def transition_matrix(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_state, to_state, n_transitions, n_from_total, probability)."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = (
+        events.where(
+            F.col(entity_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .select(
+            F.lag(F.col(state_col)).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .where(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_state")
+    prob = "cast(n_transitions AS double) / cast(n_from_total AS double)"
+    return (
+        counts.withColumn("n_from_total", F.sum("n_transitions").over(wf))
+        .selectExpr(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            "n_from_total",
+            f"cast({ROUND6.format(x=prob)} AS double) AS probability",
+        )
+        .select(*TRANSITION_COLS)
+    )
+
+
+def transition_matrix_sql(
+    table: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror: same lag window with identical tie-break ordering."""
+    return f"""
+WITH ordered AS (
+  SELECT
+    LAG({state_col}) OVER (
+      PARTITION BY {entity_col} ORDER BY {ts_col} ASC, {id_col} ASC
+    ) AS from_state,
+    {state_col} AS to_state
+  FROM {table}
+  WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {state_col} IS NOT NULL
+),
+counts AS (
+  SELECT from_state, to_state, COUNT(*) AS n_transitions
+  FROM ordered WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n_transitions,
+  SUM(n_transitions) OVER (PARTITION BY from_state) AS n_from_total,
+  CAST({ROUND6.format(x=f"CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE)")} AS DOUBLE) AS probability
+FROM counts
+"""
