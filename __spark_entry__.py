@@ -975,6 +975,18 @@ def _transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+def _scan_patterns():
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
+
+    # PII presets (expected ~0 on the synthetic corpus) + content patterns
+    # that do hit, so rates and counts are both exercised.
+    return {
+        **PII_PATTERNS,
+        "scan_word": "scan",
+        "join_or_merge": "join|merge",
+    }
+
+
 def _docs_op(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_t(spark, sf_dir, "documents"))
@@ -1094,6 +1106,16 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_strength_orders": _fd_orders,
         "null_patterns_events": _null_patterns_events,
         "transition_matrix_events": _transition_matrix_events,
+        "pattern_scan_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan", fromlist=["x"]
+            ).pattern_scan(d, _scan_patterns())
+        ),
+        "word_repetition_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.repetition", fromlist=["x"]
+            ).word_repetition(d)
+        ),
     }
 
 
@@ -1265,6 +1287,12 @@ def _extension_oracles() -> dict[str, str]:
         "transition_matrix_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
         ).transition_matrix_sql("events"),
+        "pattern_scan_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan", fromlist=["x"]
+        ).pattern_scan_sql("documents", _scan_patterns()),
+        "word_repetition_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.repetition", fromlist=["x"]
+        ).word_repetition_sql("documents"),
     }
 
 
