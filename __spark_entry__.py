@@ -975,6 +975,31 @@ def _transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+OUTLIER_COLS_LI = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _iqr_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import iqr_outliers
+
+    return iqr_outliers(_t(spark, sf_dir, "lineitem"), OUTLIER_COLS_LI)
+
+
+def _equidepth_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram import (
+        equi_depth_histograms,
+    )
+
+    return equi_depth_histograms(
+        _t(spark, sf_dir, "lineitem"), ["l_extendedprice", "l_quantity"], 8
+    )
+
+
+def _sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import sample_per_group
+
+    return sample_per_group(_t(spark, sf_dir, "documents"), 7, "lang", "doc_id")
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1116,6 +1141,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.repetition", fromlist=["x"]
             ).word_repetition(d)
         ),
+        "iqr_outliers_lineitem": _iqr_outliers_lineitem,
+        "equidepth_histogram_lineitem": _equidepth_lineitem,
+        "sample_per_lang_documents": _sample_per_lang,
     }
 
 
@@ -1293,6 +1321,13 @@ def _extension_oracles() -> dict[str, str]:
         "word_repetition_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.repetition", fromlist=["x"]
         ).word_repetition_sql("documents"),
+        "iqr_outliers_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.outliers", fromlist=["x"]
+        ).iqr_outliers_sql("lineitem", OUTLIER_COLS_LI),
+        "equidepth_histogram_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram", fromlist=["x"]
+        ).equi_depth_histogram_sql("lineitem", ["l_extendedprice", "l_quantity"], 8),
+        "sample_per_lang_documents": OX.sample_per_group_sql(7, "documents", "lang", "doc_id"),
     }
 
 

@@ -195,3 +195,108 @@ FROM (
   GROUP BY 1, 2)
 """)
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+EQUI_DEPTH_COLS = ["instance", "bucket", "lo", "hi", "cnt", "ratio"]
+
+
+def equi_depth_histograms(
+    df: DataFrame, columns: list[str], n_bins: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile-bounded) histograms for numeric columns.
+
+    Bucket bounds are the exact percentiles at i/n_bins; each bucket
+    holds ~n/n_bins rows (exactly, up to ties and interpolation).
+    Output matches the equi-width shape: (instance, bucket, lo, hi,
+    cnt, ratio), sparse (empty buckets absent — possible when bounds
+    tie on low-cardinality columns).
+
+    Plan shape: pass 1 is ONE fused agg (percentile arrays + min/max +
+    count for all columns, 1 row); pass 2 broadcasts it back, assigns
+    ``bucket = #internal bounds <= v`` map-side via an array filter, and
+    ONE groupBy over (column, bucket) keys — at most columns x bins
+    groups survive the partial agg, so the shuffle is tiny at any scale.
+
+    Determinism: bounds are exact percentiles ROUND6'd BEFORE the
+    comparison, so bucket assignment runs on identical doubles in both
+    engines (the 5e-7-of-a-bound caveat of outliers.py applies).
+    """
+    if not columns:
+        raise ValueError("equi_depth_histograms: no columns")
+    pts = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    stats = df.selectExpr(
+        *[
+            e
+            for c in columns
+            for e in (
+                f"transform(percentile({c}, array({pts})), "
+                f"b -> cast({ROUND6.format(x='b')} AS double)) AS bs_{c}",
+                f"cast({ROUND6.format(x=f'cast(min({c}) AS double)')} AS double) AS mn_{c}",
+                f"cast({ROUND6.format(x=f'cast(max({c}) AS double)')} AS double) AS mx_{c}",
+                f"cast(count({c}) AS double) AS n_{c}",
+            )
+        ]
+    )
+    structs = []
+    for c in columns:
+        v = f"cast({c} AS double)"
+        bucket = f"cast(size(filter(bs_{c}, b -> b <= {v})) AS bigint)"
+        lo = f"CASE WHEN {bucket} = 0 THEN mn_{c} ELSE element_at(bs_{c}, cast({bucket} AS int)) END"
+        hi = (
+            f"CASE WHEN {bucket} = {n_bins - 1} THEN mx_{c} "
+            f"ELSE element_at(bs_{c}, cast({bucket} AS int) + 1) END"
+        )
+        structs.append(
+            f"CASE WHEN {c} IS NOT NULL THEN named_struct("
+            f"'instance', '{c}', 'bucket', {bucket}, "
+            f"'lo', {lo}, 'hi', {hi}, 'n', n_{c}) END"
+        )
+    pairs = df.crossJoin(F.broadcast(stats)).selectExpr(
+        f"inline(filter(array({', '.join(structs)}), s -> s IS NOT NULL))"
+    )
+    return (
+        pairs.groupBy("instance", "bucket", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr(
+            "instance", "bucket", "lo", "hi", "cnt",
+            "cast(try_divide(cnt, n) AS double) AS ratio",
+        )
+        .select(*EQUI_DEPTH_COLS)
+    )
+
+
+def equi_depth_histogram_sql(
+    table: str, columns: list[str], n_bins: int = 10
+) -> str:
+    """DuckDB mirror: quantile_cont array + identical rounded-bound
+    bucket assignment."""
+    pts = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    parts = []
+    for c in columns:
+        v = f"CAST({c} AS DOUBLE)"
+        bucket = f"len(list_filter(bs, b -> b <= {v}))"
+        lo = "CASE WHEN bucket = 0 THEN mn ELSE bs[bucket] END"
+        hi = (
+            f"CASE WHEN bucket = {n_bins - 1} THEN mx "
+            "ELSE bs[bucket + 1] END"
+        )
+        parts.append(f"""
+SELECT instance, bucket,
+  CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi, cnt,
+  CAST(cnt / NULLIF(n, 0.0) AS DOUBLE) AS ratio
+FROM (
+  SELECT '{c}' AS instance, {bucket} AS bucket,
+         ANY_VALUE(bs) AS bs, ANY_VALUE(mn) AS mn, ANY_VALUE(mx) AS mx,
+         ANY_VALUE(n) AS n, COUNT(*) AS cnt
+  FROM {table}, (
+    SELECT list_transform(quantile_cont({c}, [{pts}]),
+             b -> CAST({ROUND6.format(x='b')} AS DOUBLE)) AS bs,
+           CAST({ROUND6.format(x=f'CAST(MIN({c}) AS DOUBLE)')} AS DOUBLE) AS mn,
+           CAST({ROUND6.format(x=f'CAST(MAX({c}) AS DOUBLE)')} AS DOUBLE) AS mx,
+           CAST(COUNT({c}) AS DOUBLE) AS n
+    FROM {table}) s
+  WHERE {c} IS NOT NULL
+  GROUP BY 1, 2
+) q
+""")
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)

@@ -1,0 +1,169 @@
+"""IQR (Tukey-fence) outlier detection per numeric column.
+
+Classic box-plot rule: values outside
+``[Q1 - k*IQR, Q3 + k*IQR]`` (k = 1.5 by default) are outliers.
+Output per column:
+(column, q1, q3, lower_fence, upper_fence, n_values, n_below, n_above,
+ n_outliers, outlier_rate).
+
+Plan shape: TWO scans, ZERO shuffles —
+1. one fused aggregate computes exact percentile(col, [.25,.75]) for
+   EVERY column in a single 1-row job;
+2. the 1-row fence frame broadcast-cross-joins a second fused aggregate
+   that counts below/above per column in one pass.
+No per-column jobs, no data-sized shuffle at any scale.
+
+Determinism: exact percentiles, and the fences are ROUND6'd in BOTH
+engines before the comparison — the comparison operates on identical
+doubles, so counts are bit-reproducible (at the documented cost that a
+value within 5e-7 of a fence classifies by the rounded fence).
+
+Scale notes (100 TB): exact percentile state is O(n) per column on a
+single reducer — for truly unbounded columns pass ``exact=False`` to
+ride percentile_approx (bounded KLL/GK state, same call shape; the
+result is then sketch-grade and should be rows-only-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_ident
+
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+OUTLIER_COLS = [
+    "column", "q1", "q3", "lower_fence", "upper_fence",
+    "n_values", "n_below", "n_above", "n_outliers", "outlier_rate",
+]
+
+
+def iqr_outliers(
+    df: DataFrame,
+    columns: list[str],
+    k: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One row per column with fences + outlier counts (nulls ignored)."""
+    if not columns:
+        raise ValueError("iqr_outliers: need at least one column")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
+    fences = df.selectExpr(
+        *[
+            e
+            for i, c in enumerate(columns)
+            for e in (
+                f"cast({ROUND6.format(x=f'{fn}({sql_ident(c)}, 0.25{extra})')} AS double) AS q1_{i}",
+                f"cast({ROUND6.format(x=f'{fn}({sql_ident(c)}, 0.75{extra})')} AS double) AS q3_{i}",
+            )
+        ]
+    ).selectExpr(
+        *[
+            e
+            for i in range(len(columns))
+            for e in (
+                f"q1_{i}",
+                f"q3_{i}",
+                f"cast({ROUND6.format(x=f'q1_{i} - {k!r} * (q3_{i} - q1_{i})')} AS double) AS lo_{i}",
+                f"cast({ROUND6.format(x=f'q3_{i} + {k!r} * (q3_{i} - q1_{i})')} AS double) AS hi_{i}",
+            )
+        ]
+    )
+    counted = df.crossJoin(F.broadcast(fences)).selectExpr(
+        *[
+            e
+            for i, c in enumerate(columns)
+            for e in (
+                f"q1_{i}", f"q3_{i}", f"lo_{i}", f"hi_{i}",
+                f"cast({sql_ident(c)} IS NOT NULL AS int) AS v_{i}",
+                f"cast({sql_ident(c)} < lo_{i} AS int) AS b_{i}",
+                f"cast({sql_ident(c)} > hi_{i} AS int) AS a_{i}",
+            )
+        ]
+    ).agg(
+        *[
+            a
+            for i in range(len(columns))
+            for a in (
+                F.first(f"q1_{i}").alias(f"q1_{i}"),
+                F.first(f"q3_{i}").alias(f"q3_{i}"),
+                F.first(f"lo_{i}").alias(f"lo_{i}"),
+                F.first(f"hi_{i}").alias(f"hi_{i}"),
+                F.sum(f"v_{i}").alias(f"n_{i}"),
+                F.sum(f"b_{i}").alias(f"nb_{i}"),
+                F.sum(f"a_{i}").alias(f"na_{i}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', q1_{i}, q3_{i}, lo_{i}, hi_{i}, n_{i}, nb_{i}, na_{i}"
+        for i, c in enumerate(columns)
+    )
+    unpivoted = counted.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(column, q1, q3, lower_fence, upper_fence, n_values, n_below, n_above)"
+    )
+    rate = "cast(n_below + n_above AS double) / cast(n_values AS double)"
+    return unpivoted.selectExpr(
+        "column", "q1", "q3", "lower_fence", "upper_fence",
+        "n_values", "n_below", "n_above",
+        "n_below + n_above AS n_outliers",
+        f"cast({ROUND6.format(x=rate)} AS double) AS outlier_rate",
+    ).select(*OUTLIER_COLS)
+
+
+def iqr_outliers_sql(table: str, columns: list[str], k: float = 1.5) -> str:
+    """DuckDB mirror: quantile_cont == Spark's exact percentile; fences
+    ROUND6'd identically before comparison."""
+    fence_cols = ",\n    ".join(
+        f"CAST({ROUND6.format(x=f'quantile_cont({c}, 0.25)')} AS DOUBLE) AS q1_{i},"
+        f" CAST({ROUND6.format(x=f'quantile_cont({c}, 0.75)')} AS DOUBLE) AS q3_{i}"
+        for i, c in enumerate(columns)
+    )
+    lo_hi = ",\n    ".join(
+        f"q1_{i}, q3_{i},"
+        f" CAST({ROUND6.format(x=f'q1_{i} - {k!r} * (q3_{i} - q1_{i})')} AS DOUBLE) AS lo_{i},"
+        f" CAST({ROUND6.format(x=f'q3_{i} + {k!r} * (q3_{i} - q1_{i})')} AS DOUBLE) AS hi_{i}"
+        for i in range(len(columns))
+    )
+    count_cols = ",\n    ".join(
+        f"SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS n_{i},"
+        f" SUM(CASE WHEN {c} < lo_{i} THEN 1 ELSE 0 END) AS nb_{i},"
+        f" SUM(CASE WHEN {c} > hi_{i} THEN 1 ELSE 0 END) AS na_{i}"
+        for i, c in enumerate(columns)
+    )
+    rate = "CAST(n_below + n_above AS DOUBLE) / CAST(n_values AS DOUBLE)"
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", q1_{i} AS q1, q3_{i} AS q3,
+  lo_{i} AS lower_fence, hi_{i} AS upper_fence, n_{i} AS n_values,
+  nb_{i} AS n_below, na_{i} AS n_above FROM counted"""
+        for i, c in enumerate(columns)
+    )
+    return f"""
+WITH fences0 AS (
+  SELECT
+    {fence_cols}
+  FROM {table}
+),
+fences AS (
+  SELECT
+    {lo_hi}
+  FROM fences0
+),
+counted AS (
+  SELECT
+    {", ".join(f"MIN(q1_{i}) AS q1_{i}, MIN(q3_{i}) AS q3_{i}, MIN(lo_{i}) AS lo_{i}, MIN(hi_{i}) AS hi_{i}" for i in range(len(columns)))},
+    {count_cols}
+  FROM {table} CROSS JOIN fences
+),
+long AS (
+{arms}
+)
+SELECT "column", q1, q3, lower_fence, upper_fence, n_values, n_below, n_above,
+  n_below + n_above AS n_outliers,
+  CAST({ROUND6.format(x=rate)} AS DOUBLE) AS outlier_rate
+FROM long
+"""

@@ -89,3 +89,36 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_threshold(rate))
         ).otherwise(thr)
     return df.where(bucket < thr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, chosen by the same
+    deterministic id hash (uniform within each group).
+
+    Rate-based sampling can't promise exact per-class counts; balanced
+    eval sets and few-shot pools need them. One window shuffle keyed by
+    the group; the (bucket, id) ordering makes the pick reproducible
+    across runs, partitionings and engines — the id tie-break covers
+    the (vanishing) chance of bucket collisions.
+
+    Scale notes (100 TB): rank-k per key via window top-k; group skew is
+    the usual top-k caveat — for pathological single-group corpora,
+    pre-filter with deterministic_sample at ~k/|group| first to bound
+    the window's input.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

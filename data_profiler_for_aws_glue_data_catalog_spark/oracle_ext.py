@@ -378,6 +378,26 @@ def stratified_sample_sql(
     )
 
 
+def sample_per_group_sql(
+    k: int,
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """Mirror of sampling.sample_per_group: row_number over the same
+    (bucket, id) ordering per group."""
+    return f"""
+SELECT * EXCLUDE (__rk) FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {group_col}
+    ORDER BY {_bucket_sql(id_col, seed)} ASC, {id_col} ASC
+  ) AS __rk
+  FROM {table}
+) WHERE __rk <= {k}
+"""
+
+
 def chunk_documents_sql(
     chunk_tokens: int = 64,
     overlap: int = 16,

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators import outliers as OU
+from data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram import (
+    equi_depth_histograms,
+)
+
+
+def test_iqr_counts(spark):
+    # 1..8 plus two extreme points; Q1=2.75, Q3=7.25 (linear interp on
+    # the 10 values 1..8,100,-100 sorted), k=1.5
+    vals = list(range(1, 9)) + [100, -100]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    r = OU.iqr_outliers(df, ["x"]).collect()[0]
+    assert r.n_values == 10
+    assert r.n_below == 1 and r.n_above == 1
+    assert r.n_outliers == 2
+    assert r.outlier_rate == 0.2
+    assert r.lower_fence < 1 and r.upper_fence > 8
+
+
+def test_no_outliers_uniform(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    r = OU.iqr_outliers(df, ["x"]).collect()[0]
+    assert r.n_outliers == 0
+
+
+def test_multi_column_single_pass(spark, lineitem):
+    rows = OU.iqr_outliers(lineitem, ["l_quantity", "l_extendedprice"]).collect()
+    by_col = {r.column: r for r in rows}
+    assert set(by_col) == {"l_quantity", "l_extendedprice"}
+    # quantity is uniform 1..50: no Tukey outliers
+    assert by_col["l_quantity"].n_outliers == 0
+
+
+def test_equi_depth_bucket_sizes(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "x double")
+    rows = equi_depth_histograms(df, ["x"], n_bins=4).collect()
+    assert sum(r.cnt for r in rows) == 100
+    # near-equal buckets on a uniform column
+    assert all(20 <= r.cnt <= 30 for r in rows)
+    assert len(rows) == 4
+    lo = min(r.lo for r in rows)
+    hi = max(r.hi for r in rows)
+    assert lo == 1.0 and hi == 100.0
+
+
+def test_equi_depth_ratio_sums_to_one(spark, lineitem):
+    rows = equi_depth_histograms(lineitem, ["l_extendedprice"], n_bins=10).collect()
+    assert abs(sum(r.ratio for r in rows) - 1.0) < 1e-5

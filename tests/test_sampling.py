@@ -55,3 +55,27 @@ def test_stratified_rates(spark, documents):
     assert out.where(F.col("lang") == "de").count() == n_de  # rate 1 keeps all
     # unlisted strata fall back to default_rate=0
     assert langs <= {"de"}
+
+
+def test_sample_per_group_exact_k(spark, documents):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import sample_per_group
+
+    got = sample_per_group(documents, 5, "lang", "doc_id").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    sizes = {lang: len(ids) for lang, ids in by_lang.items()}
+    assert all(v == 5 for v in sizes.values())
+    # deterministic: same pick every run
+    again = sample_per_group(documents, 5, "lang", "doc_id").collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+
+def test_sample_per_group_small_group(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, lang string"
+    )
+    got = sample_per_group(df, 10, "lang", "doc_id").collect()
+    assert len(got) == 3  # min(k, group size)
