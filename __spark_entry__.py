@@ -1000,6 +1000,36 @@ def _sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_per_group(_t(spark, sf_dir, "documents"), 7, "lang", "doc_id")
 
 
+def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed sink round trip: persist orders+lineitem co-bucketed on
+    the order key, then run the co-located (exchange-free) join and
+    aggregate revenue per order priority."""
+    import tempfile
+    import uuid
+
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks.bucketed import write_bucketed
+
+    sfx = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="dq_bucketed_q_")
+    ot, lt = f"bq_orders_{sfx}", f"bq_lineitem_{sfx}"
+    write_bucketed(_t(spark, sf_dir, "orders"), ot, f"{root}/{ot}", ["o_orderkey"], 8)
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem"), lt, f"{root}/{lt}", ["l_orderkey"], 8
+    )
+    o, li = spark.table(ot), spark.table(lt)
+    dec = "DECIMAL(27,6)"
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS {dec})) AS double)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1144,6 +1174,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers_lineitem": _iqr_outliers_lineitem,
         "equidepth_histogram_lineitem": _equidepth_lineitem,
         "sample_per_lang_documents": _sample_per_lang,
+        "bucketed_join_orders": _bucketed_join_orders,
     }
 
 
@@ -1328,6 +1359,13 @@ def _extension_oracles() -> dict[str, str]:
             "data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram", fromlist=["x"]
         ).equi_depth_histogram_sql("lineitem", ["l_extendedprice", "l_quantity"], 8),
         "sample_per_lang_documents": OX.sample_per_group_sql(7, "documents", "lang", "doc_id"),
+        "bucketed_join_orders": """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
     }
 
 

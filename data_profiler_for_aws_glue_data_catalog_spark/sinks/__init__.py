@@ -7,6 +7,11 @@ Two, mirroring the reference (SURVEY.md §2.B):
 - :mod:`catalog_sink` — table/column parameter publication with the
   delete-then-upsert ``<prefix>__<Metric>`` contract (Glue.java:44-151),
   against a local pluggable metadata store.
+
+Plus one scale extension past the reference:
+
+- :mod:`bucketed` — bucketBy+sortBy external tables for co-located
+  (exchange-free) joins on a pre-paid shuffle.
 """
 
 from data_profiler_for_aws_glue_data_catalog_spark.sinks.catalog_sink import (
@@ -15,6 +20,11 @@ from data_profiler_for_aws_glue_data_catalog_spark.sinks.catalog_sink import (
     metrics_to_params,
     publish_profile,
 )
+from data_profiler_for_aws_glue_data_catalog_spark.sinks.bucketed import (
+    cobucketed_join,
+    register_bucketed,
+    write_bucketed,
+)
 from data_profiler_for_aws_glue_data_catalog_spark.sinks.parquet_sink import (
     enrich_metrics,
     read_metrics_parquet,
@@ -22,6 +32,9 @@ from data_profiler_for_aws_glue_data_catalog_spark.sinks.parquet_sink import (
 )
 
 __all__ = [
+    "cobucketed_join",
+    "register_bucketed",
+    "write_bucketed",
     "LocalMetadataCatalog",
     "format_metric_value",
     "metrics_to_params",
