@@ -1175,6 +1175,11 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram_lineitem": _equidepth_lineitem,
         "sample_per_lang_documents": _sample_per_lang,
         "bucketed_join_orders": _bucketed_join_orders,
+        "pmi_bigrams_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.pmi", fromlist=["x"]
+            ).bigram_pmi(d, min_count=20)
+        ),
     }
 
 
@@ -1366,6 +1371,9 @@ SELECT o_orderpriority,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """,
+        "pmi_bigrams_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.pmi", fromlist=["x"]
+        ).bigram_pmi_sql("documents", min_count=20),
     }
 
 
