@@ -1030,6 +1030,26 @@ def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join lineitem x supplier; result identical to
+    the plain join (the oracle runs the plain join)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.salted_join import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    dec = "DECIMAL(27,6)"
+    return (
+        salted_join(li, sup, "l_suppkey", "s_suppkey", "l_orderkey", n_salts=4)
+        .groupBy("s_nationkey")
+        .agg(
+            F.expr(
+                f"cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS {dec})) AS double)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1180,6 +1200,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.pmi", fromlist=["x"]
             ).bigram_pmi(d, min_count=20)
         ),
+        "salted_join_lineitem": _salted_join_lineitem,
     }
 
 
@@ -1374,6 +1395,13 @@ GROUP BY o_orderpriority
         "pmi_bigrams_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.pmi", fromlist=["x"]
         ).bigram_pmi_sql("documents", min_count=20),
+        "salted_join_lineitem": """
+SELECT s_nationkey,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
     }
 
 
