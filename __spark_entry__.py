@@ -1050,6 +1050,45 @@ def _salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
+
+
+def _winsorized_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize at [0.05, 0.95] then one fused decimal-deterministic
+    stats pass over the clipped columns."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import winsorize
+
+    w = winsorize(_t(spark, sf_dir, "lineitem"), WINSOR_COLS, 0.05, 0.95)
+    agg = w.selectExpr(
+        *[
+            e
+            for i, c in enumerate(WINSOR_COLS)
+            for e in (
+                f"cast(count({c}) AS bigint) AS n_{i}",
+                f"cast(min({c}) AS double) AS mn_{i}",
+                f"cast(max({c}) AS double) AS mx_{i}",
+                f"cast(cast(sum(cast({c} AS decimal(27,6))) AS double)"
+                f" / count({c}) AS double) AS avg_{i}",
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{c}', n_{i}, mn_{i}, mx_{i}, avg_{i}" for i, c in enumerate(WINSOR_COLS)
+    )
+    return agg.selectExpr(
+        f"stack({len(WINSOR_COLS)}, {stack}) AS (column, n, vmin, vmax, vmean)"
+    )
+
+
+def _profile_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.wide_profile import profile_wide
+
+    m = _present(
+        profile_table(_t(spark, sf_dir, "orders"), ProfilerConfig(), include_approx=False)
+    )
+    return profile_wide(m)
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1201,7 +1240,24 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).bigram_pmi(d, min_count=20)
         ),
         "salted_join_lineitem": _salted_join_lineitem,
+        "winsorized_stats_lineitem": _winsorized_stats_lineitem,
+        "profile_orders_wide": _profile_orders_wide,
     }
+
+
+def _winsorized_stats_sql() -> str:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import winsorize_sql
+
+    li_cols = [c for c, _, _ in O.TABLE_COLUMNS["lineitem"]]
+    inner = winsorize_sql("lineitem", li_cols, WINSOR_COLS, 0.05, 0.95)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", CAST(COUNT({c}) AS BIGINT) AS n,
+  CAST(MIN({c}) AS DOUBLE) AS vmin, CAST(MAX({c}) AS DOUBLE) AS vmax,
+  CAST(CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({c}) AS DOUBLE) AS vmean
+FROM w"""
+        for c in WINSOR_COLS
+    )
+    return f"WITH w AS ({inner})\n{arms}"
 
 
 def _extension_oracles() -> dict[str, str]:
@@ -1402,6 +1458,10 @@ SELECT s_nationkey,
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """,
+        "winsorized_stats_lineitem": _winsorized_stats_sql(),
+        "profile_orders_wide": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.wide_profile", fromlist=["x"]
+        ).profile_wide_sql(O.profile_table_sql("orders", expensive=False)),
     }
 
 

@@ -167,3 +167,75 @@ SELECT "column", q1, q3, lower_fence, upper_fence, n_values, n_below, n_above,
   CAST({ROUND6.format(x=rate)} AS DOUBLE) AS outlier_rate
 FROM long
 """
+
+
+def winsorize(
+    df: DataFrame,
+    columns: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Clip each column to its [lower, upper] exact-percentile bounds
+    (winsorization — the standard heavy-tail taming transform before
+    training/aggregation).
+
+    Plan shape: ONE fused 1-row percentile aggregate for all columns,
+    broadcast back via cross join, then a map-side least/greatest clip —
+    two scans, zero shuffles, output schema identical to the input.
+
+    Determinism: bounds are ROUND6'd in both engines (outliers.py
+    contract), so the clip is bit-reproducible.
+    """
+    if not columns:
+        raise ValueError("winsorize: need at least one column")
+    bounds = df.selectExpr(
+        *[
+            e
+            for i, c in enumerate(columns)
+            for e in (
+                f"cast({ROUND6.format(x=f'percentile({sql_ident(c)}, {lower!r})')} AS double) AS wlo_{i}",
+                f"cast({ROUND6.format(x=f'percentile({sql_ident(c)}, {upper!r})')} AS double) AS whi_{i}",
+            )
+        ]
+    )
+    clip = {
+        c: f"cast(least(greatest(cast({sql_ident(c)} AS double), wlo_{i}), whi_{i}) AS double)"
+        for i, c in enumerate(columns)
+    }
+    out_cols = [
+        f"{clip[c]} AS {sql_ident(c)}" if c in clip else sql_ident(c)
+        for c in df.columns
+    ]
+    return df.crossJoin(F.broadcast(bounds)).selectExpr(*out_cols)
+
+
+def winsorize_sql(
+    table: str,
+    all_columns: list[str],
+    columns: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> str:
+    """DuckDB mirror of winsorize (quantile_cont bounds, same clip)."""
+    bound_cols = ",\n    ".join(
+        f"CAST({ROUND6.format(x=f'quantile_cont({c}, {lower!r})')} AS DOUBLE) AS wlo_{i},"
+        f" CAST({ROUND6.format(x=f'quantile_cont({c}, {upper!r})')} AS DOUBLE) AS whi_{i}"
+        for i, c in enumerate(columns)
+    )
+    idx = {c: i for i, c in enumerate(columns)}
+    out_cols = ", ".join(
+        (
+            f"CAST(LEAST(GREATEST(CAST({c} AS DOUBLE), wlo_{idx[c]}), whi_{idx[c]}) AS DOUBLE) AS {c}"
+            if c in idx
+            else c
+        )
+        for c in all_columns
+    )
+    return f"""
+WITH bounds AS (
+  SELECT
+    {bound_cols}
+  FROM {table}
+)
+SELECT {out_cols} FROM {table} CROSS JOIN bounds
+"""

@@ -48,3 +48,36 @@ def test_equi_depth_bucket_sizes(spark):
 def test_equi_depth_ratio_sums_to_one(spark, lineitem):
     rows = equi_depth_histograms(lineitem, ["l_extendedprice"], n_bins=10).collect()
     assert abs(sum(r.ratio for r in rows) - 1.0) < 1e-5
+
+
+def test_winsorize_clips_tails(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "x double")
+    w = winsorize(df, ["x"], 0.1, 0.9)
+    rows = [r.x for r in w.collect()]
+    assert len(rows) == 100
+    assert min(rows) >= 10.0 and max(rows) <= 91.0
+    # interior values unchanged
+    assert 50.0 in rows
+
+
+def test_winsorize_preserves_schema_and_other_columns(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import winsorize
+
+    df = spark.createDataFrame([(1, 5.0, "a"), (2, 500.0, "b")], "id bigint, v double, s string")
+    w = winsorize(df, ["v"], 0.0, 1.0)
+    assert w.columns == ["id", "v", "s"]
+    assert {r.s for r in w.collect()} == {"a", "b"}
+
+
+def test_profile_wide_pivot(spark, lineitem):
+    from data_profiler_for_aws_glue_data_catalog_spark import ProfilerConfig, profile_table
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.wide_profile import profile_wide
+
+    m = profile_table(lineitem, ProfilerConfig(), include_approx=False)
+    wide = profile_wide(m)
+    row = {r.instance: r for r in wide.collect()}["l_quantity"]
+    assert row.Completeness == 1.0
+    assert row.Minimum == 1.0 and row.Maximum == 50.0
+    assert row.Sum is not None and row.Mean is not None
