@@ -1089,6 +1089,25 @@ def _profile_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_wide(m)
 
 
+INCLUSION_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem", "l_suppkey", "part", "p_partkey"),  # weak-overlap example
+]
+
+
+def _inclusion_matrix_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.inclusion import inclusion_matrix
+
+    pairs = [
+        (_t(spark, sf_dir, lt), lc, _t(spark, sf_dir, rt), rc, lt, rt)
+        for lt, lc, rt, rc in INCLUSION_PAIRS
+    ]
+    return inclusion_matrix(spark, pairs)
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1242,6 +1261,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_lineitem": _salted_join_lineitem,
         "winsorized_stats_lineitem": _winsorized_stats_lineitem,
         "profile_orders_wide": _profile_orders_wide,
+        "inclusion_matrix_tpch": _inclusion_matrix_tpch,
     }
 
 
@@ -1459,6 +1479,14 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """,
         "winsorized_stats_lineitem": _winsorized_stats_sql(),
+        "inclusion_matrix_tpch": "\nUNION ALL\n".join(
+            "SELECT * FROM (\n{}\n)".format(
+                __import__(
+                    "data_profiler_for_aws_glue_data_catalog_spark.operators.inclusion", fromlist=["x"]
+                ).inclusion_stats_sql(lt, lc, rt, rc)
+            )
+            for lt, lc, rt, rc in INCLUSION_PAIRS
+        ),
         "profile_orders_wide": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.wide_profile", fromlist=["x"]
         ).profile_wide_sql(O.profile_table_sql("orders", expensive=False)),

@@ -117,6 +117,20 @@ def main() -> None:
         "funnel_summary_events",
         "cohort_retention_events",
         "rollup_profile_customer",
+        "ref_integrity_tpch",
+        "fd_strength_orders",
+        "null_patterns_events",
+        "transition_matrix_events",
+        "pattern_scan_documents",
+        "word_repetition_documents",
+        "iqr_outliers_lineitem",
+        "equidepth_histogram_lineitem",
+        "sample_per_lang_documents",
+        "bucketed_join_orders",
+        "pmi_bigrams_documents",
+        "salted_join_lineitem",
+        "winsorized_stats_lineitem",
+        "profile_orders_wide",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
