@@ -1108,6 +1108,21 @@ def _inclusion_matrix_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inclusion_matrix(spark, pairs)
 
 
+BENFORD_COLS_Q = ["o_totalprice", "o_custkey"]
+
+
+def _cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.association import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+def _benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.benford import benford_digits
+
+    return benford_digits(_t(spark, sf_dir, "orders"), BENFORD_COLS_Q)
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1262,6 +1277,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats_lineitem": _winsorized_stats_lineitem,
         "profile_orders_wide": _profile_orders_wide,
         "inclusion_matrix_tpch": _inclusion_matrix_tpch,
+        "cramers_v_orders": _cramers_v_orders,
+        "benford_orders": _benford_orders,
     }
 
 
@@ -1479,6 +1496,12 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """,
         "winsorized_stats_lineitem": _winsorized_stats_sql(),
+        "cramers_v_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.association", fromlist=["x"]
+        ).cramers_v_sql("orders", "o_orderstatus", "o_orderpriority"),
+        "benford_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.benford", fromlist=["x"]
+        ).benford_digits_sql("orders", BENFORD_COLS_Q),
         "inclusion_matrix_tpch": "\nUNION ALL\n".join(
             "SELECT * FROM (\n{}\n)".format(
                 __import__(
