@@ -1123,6 +1123,25 @@ def _benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(_t(spark, sf_dir, "orders"), BENFORD_COLS_Q)
 
 
+def _windowed_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import windowed_distinct
+
+    return windowed_distinct(_t(spark, sf_dir, "events"))
+
+
+def _inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings serialized to a comma string so the driver's value-hash
+    compares scalars (the operator itself returns real arrays)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.inverted_index import inverted_index
+
+    idx = inverted_index(_t(spark, sf_dir, "documents"), min_df=5)
+    return idx.select(
+        "term",
+        "doc_freq",
+        F.array_join("postings", ",").alias("postings"),
+    )
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1279,6 +1298,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inclusion_matrix_tpch": _inclusion_matrix_tpch,
         "cramers_v_orders": _cramers_v_orders,
         "benford_orders": _benford_orders,
+        "windowed_unique_users_events": _windowed_unique_users,
+        "inverted_index_documents": _inverted_index_documents,
     }
 
 
@@ -1502,6 +1523,17 @@ GROUP BY s_nationkey
         "benford_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.benford", fromlist=["x"]
         ).benford_digits_sql("orders", BENFORD_COLS_Q),
+        "windowed_unique_users_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]
+        ).windowed_distinct_sql("events"),
+        "inverted_index_documents": (
+            "SELECT term, doc_freq, array_to_string(postings, ',') AS postings"
+            " FROM (\n{}\n)".format(
+                __import__(
+                    "data_profiler_for_aws_glue_data_catalog_spark.operators.inverted_index", fromlist=["x"]
+                ).inverted_index_sql("documents", min_df=5)
+            )
+        ),
         "inclusion_matrix_tpch": "\nUNION ALL\n".join(
             "SELECT * FROM (\n{}\n)".format(
                 __import__(

@@ -243,3 +243,89 @@ def windowed_compliance_stream(
         patterns,
         window_duration,
     )
+
+
+DISTINCT_WINDOW_COLS = [
+    "window_start", "window_end", "n_events", "n_distinct",
+]
+
+
+def windowed_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Exact distinct entities per tumbling window — the "hourly active
+    users" query, batch form.
+
+    ONE shuffle: count + count_distinct fuse into the same window
+    aggregation (Catalyst plans the distinct via a single Expand; keys
+    stay (window), so partial aggregation still collapses map-side).
+
+    At 100 TB the exact distinct's state is O(distinct entities per
+    window) — bounded by the entity universe, the usual web-scale case.
+    For the streaming form use ``windowed_distinct_stream`` (HLL sketch,
+    bounded state, approximate).
+    """
+    grouped = (
+        df.where(F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col(entity_col)).alias("n_distinct"),
+        )
+    )
+    return grouped.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        "n_distinct",
+    )
+
+
+def windowed_distinct_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming approximate variant: HLL++ ``approx_count_distinct``
+    keeps per-window state bounded (exact count_distinct state grows with
+    the entity universe and is disallowed in append-mode streaming).
+    Sketch-grade output: tolerance-tested, not hash-checked."""
+    grouped = (
+        stream.where(F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(F.col(entity_col)).alias("n_distinct"),
+        )
+    )
+    return grouped.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        "n_distinct",
+    )
+
+
+def windowed_distinct_sql(
+    table: str,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+) -> str:
+    """DuckDB mirror of the batch form (1-hour tumbling windows)."""
+    return f"""
+SELECT
+  CAST(time_bucket(INTERVAL 1 HOUR, {ts_col}) AS TIMESTAMP) AS window_start,
+  CAST(time_bucket(INTERVAL 1 HOUR, {ts_col}) + INTERVAL 1 HOUR AS TIMESTAMP)
+    AS window_end,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT {entity_col}) AS n_distinct
+FROM {table}
+WHERE {ts_col} IS NOT NULL AND {entity_col} IS NOT NULL
+GROUP BY 1, 2
+"""
