@@ -1142,6 +1142,15 @@ def _inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY = ["scan", "join", "merge"]
+
+
+def _bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=25)
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1300,6 +1309,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": _benford_orders,
         "windowed_unique_users_events": _windowed_unique_users,
         "inverted_index_documents": _inverted_index_documents,
+        "bm25_topk_documents": _bm25_documents,
     }
 
 
@@ -1523,6 +1533,9 @@ GROUP BY s_nationkey
         "benford_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.benford", fromlist=["x"]
         ).benford_digits_sql("orders", BENFORD_COLS_Q),
+        "bm25_topk_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.bm25", fromlist=["x"]
+        ).bm25_topk_sql("documents", BM25_QUERY, k=25),
         "windowed_unique_users_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]
         ).windowed_distinct_sql("events"),
