@@ -1151,6 +1151,23 @@ def _bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=25)
 
 
+FRESHNESS_AS_OF = __import__("datetime").datetime(2024, 1, 31, 0, 0, 0)
+
+
+def _freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.freshness import freshness
+
+    return freshness(_t(spark, sf_dir, "events"), "ts", FRESHNESS_AS_OF)
+
+
+def _segment_deviations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.segments import segment_deviations
+
+    return segment_deviations(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1310,6 +1327,18 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_unique_users_events": _windowed_unique_users,
         "inverted_index_documents": _inverted_index_documents,
         "bm25_topk_documents": _bm25_documents,
+        "lang_confusion_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.text_analysis", fromlist=["x"]
+            ).lang_confusion(d)
+        ),
+        "dedup_summary_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.dedup", fromlist=["x"]
+            ).dedup_summary(d)
+        ),
+        "freshness_events": _freshness_events,
+        "segment_deviations_orders": _segment_deviations_orders,
     }
 
 
@@ -1536,6 +1565,14 @@ GROUP BY s_nationkey
         "bm25_topk_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.bm25", fromlist=["x"]
         ).bm25_topk_sql("documents", BM25_QUERY, k=25),
+        "lang_confusion_documents": OX.lang_confusion_sql(),
+        "dedup_summary_documents": OX.dedup_summary_sql(),
+        "freshness_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.freshness", fromlist=["x"]
+        ).freshness_sql("events", "ts", FRESHNESS_AS_OF),
+        "segment_deviations_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.segments", fromlist=["x"]
+        ).segment_deviations_sql("orders", "o_orderpriority", "o_totalprice"),
         "windowed_unique_users_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]
         ).windowed_distinct_sql("events"),

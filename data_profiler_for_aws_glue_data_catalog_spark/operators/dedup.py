@@ -374,3 +374,38 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+DEDUP_SUMMARY_COLS = [
+    "n_docs", "n_distinct_contents", "n_dup_docs", "n_redundant", "dup_rate",
+]
+
+
+def dedup_summary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level exact-duplication profile (single row):
+    n_docs, n_distinct_contents, n_dup_docs (docs in any group >= 2),
+    n_redundant (rows dedup would drop), dup_rate (= redundant/docs).
+
+    One shuffle: groupBy(content hash) sizes, then a tiny fused
+    aggregate — no window, no join, screen-sized output at any scale.
+    """
+    ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    h = X.md5_hex(X.normalized(F.col(text_col)))
+    groups = docs.select(h.alias("content_md5")).groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    agg = groups.agg(
+        F.sum("sz").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_contents"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(F.lit(0))).alias(
+            "n_dup_docs"
+        ),
+    )
+    rate = "cast(n_docs - n_distinct_contents AS double) / cast(n_docs AS double)"
+    return agg.selectExpr(
+        "n_docs", "n_distinct_contents", "n_dup_docs",
+        "n_docs - n_distinct_contents AS n_redundant",
+        f"cast({ROUND6.format(x=rate)} AS double) AS dup_rate",
+    ).select(*DEDUP_SUMMARY_COLS)

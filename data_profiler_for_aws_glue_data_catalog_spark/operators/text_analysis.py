@@ -174,3 +174,42 @@ def fingerprints(
         ).alias("min_shingle_hash"),
         X.simhash32_from_hashes(F.col("_th")).alias("simhash"),
     )
+
+
+LANG_CONFUSION_COLS = ["label", "predicted", "n", "frac_of_label"]
+
+
+def lang_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against a labeled
+    column: (label, predicted, n, frac_of_label) — the evaluation loop a
+    real pipeline runs when swapping lang-ID models.
+
+    Plan shape: language_id's map-side projection + ONE
+    groupBy(label, predicted) shuffle over |langs|^2 keys; per-label
+    totals ride a window over the tiny matrix. ROUND6 fractions.
+    """
+    pred = language_id(docs, text_col, id_col).select(
+        F.col(id_col), F.col("lang_pred")
+    )
+    labeled = docs.select(F.col(id_col), F.col(label_col).alias("label"))
+    pairs = labeled.join(pred, id_col).groupBy(
+        "label", F.col("lang_pred").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as _W
+
+    tot = _W.partitionBy("label")
+    frac = "cast(n AS double) / cast(n_label AS double)"
+    ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return (
+        pairs.withColumn("n_label", F.sum("n").over(tot))
+        .selectExpr(
+            "label", "predicted", "n",
+            f"cast({ROUND6.format(x=frac)} AS double) AS frac_of_label",
+        )
+        .select(*LANG_CONFUSION_COLS)
+    )

@@ -1092,3 +1092,49 @@ def kmeans_train_sql(
             prev = f"cents{i}"
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT cell, dim, value, n_members FROM m{n_iters}"
+
+
+def lang_confusion_sql(
+    table: str = "documents",
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of text_analysis.lang_confusion: language_id composition +
+    per-label fractions."""
+    frac = round6_sql("CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE)")
+    return f"""
+WITH pred AS ({language_id_sql(table, text_col, id_col)}),
+pairs AS (
+  SELECT d.{label_col} AS label, p.lang_pred AS predicted, COUNT(*) AS n
+  FROM {table} d JOIN pred p ON d.{id_col} = p.{id_col}
+  GROUP BY 1, 2
+)
+SELECT label, predicted, n,
+  CAST({frac} AS DOUBLE) AS frac_of_label
+FROM (SELECT *, SUM(n) OVER (PARTITION BY label) AS n_label FROM pairs)
+"""
+
+
+def dedup_summary_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """Mirror of dedup.dedup_summary."""
+    rate = round6_sql(
+        "CAST(n_docs - n_distinct_contents AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    )
+    return f"""
+WITH groups AS (
+  SELECT md5({norm_sql(text_col)}) AS m, COUNT(*) AS sz
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT SUM(sz) AS n_docs, COUNT(*) AS n_distinct_contents,
+    SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS n_dup_docs
+  FROM groups
+)
+SELECT n_docs, n_distinct_contents, n_dup_docs,
+  n_docs - n_distinct_contents AS n_redundant,
+  CAST({rate} AS DOUBLE) AS dup_rate
+FROM agg
+"""
