@@ -131,6 +131,16 @@ def main() -> None:
         "salted_join_lineitem",
         "winsorized_stats_lineitem",
         "profile_orders_wide",
+        "inclusion_matrix_tpch",
+        "cramers_v_orders",
+        "benford_orders",
+        "windowed_unique_users_events",
+        "inverted_index_documents",
+        "bm25_topk_documents",
+        "lang_confusion_documents",
+        "dedup_summary_documents",
+        "freshness_events",
+        "segment_deviations_orders",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
