@@ -1168,6 +1168,52 @@ def _segment_deviations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORMAT_COLS_Q = ["o_orderpriority", "o_orderstatus"]
+
+
+def _format_patterns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.format_patterns import format_patterns
+
+    return format_patterns(_t(spark, sf_dir, "orders"), FORMAT_COLS_Q, k=5)
+
+
+def _temporal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.temporal import temporal_profile
+
+    return temporal_profile(_t(spark, sf_dir, "events"))
+
+
+def _cooccurrence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.cooccurrence import cooccurrence_topk
+
+    return cooccurrence_topk(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", k=20
+    )
+
+
+def _fuzzy_join_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.fuzzy_join import fuzzy_join
+
+    return fuzzy_join(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name", 2,
+        block_mode="suffix_token",
+    )
+
+
+ROW_DEDUP_COLS_Q = [
+    "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+]
+
+
+def _duplicate_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row duplication over lineitem's VALUE columns (keys dropped
+    so real duplicate rows exist)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.row_dedup import duplicate_rows
+
+    return duplicate_rows(_t(spark, sf_dir, "lineitem"), ROW_DEDUP_COLS_Q)
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1339,6 +1385,11 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "freshness_events": _freshness_events,
         "segment_deviations_orders": _segment_deviations_orders,
+        "format_patterns_orders": _format_patterns_orders,
+        "temporal_profile_events": _temporal_profile_events,
+        "cooccurrence_lineitem": _cooccurrence_lineitem,
+        "fuzzy_join_part": _fuzzy_join_part,
+        "duplicate_rows_lineitem": _duplicate_rows_lineitem,
     }
 
 
@@ -1573,6 +1624,21 @@ GROUP BY s_nationkey
         "segment_deviations_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.segments", fromlist=["x"]
         ).segment_deviations_sql("orders", "o_orderpriority", "o_totalprice"),
+        "format_patterns_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.format_patterns", fromlist=["x"]
+        ).format_patterns_sql("orders", FORMAT_COLS_Q, k=5),
+        "temporal_profile_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.temporal", fromlist=["x"]
+        ).temporal_profile_sql("events"),
+        "cooccurrence_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.cooccurrence", fromlist=["x"]
+        ).cooccurrence_topk_sql("lineitem", "l_orderkey", "l_partkey", k=20),
+        "fuzzy_join_part": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.fuzzy_join", fromlist=["x"]
+        ).fuzzy_join_sql("part", "p_partkey", "p_name", 2, block_mode="suffix_token"),
+        "duplicate_rows_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.row_dedup", fromlist=["x"]
+        ).duplicate_rows_sql("lineitem", ROW_DEDUP_COLS_Q),
         "windowed_unique_users_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]
         ).windowed_distinct_sql("events"),

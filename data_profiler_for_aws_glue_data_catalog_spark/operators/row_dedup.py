@@ -1,0 +1,85 @@
+"""Whole-row duplicate detection for arbitrary tables.
+
+dedup.py handles text content; this is the table-generic version: rows
+are identical iff their canonical serialization matches — every column
+cast to string, NULL marked with a reserved sentinel, joined with a
+unit separator (so ("ab","c") never collides with ("a","bc")).
+
+Outputs the same summary shape as dedup_summary:
+(n_rows, n_distinct_rows, n_dup_rows, n_redundant, dup_rate) — one
+groupBy(row hash) shuffle plus a tiny fused aggregate.
+
+Determinism note: Spark and DuckDB print identical strings for bigint,
+double (shortest round-trip), string and date columns — the
+serialization is oracle-mirrored term-for-term; exotic types (binary,
+nested) should be pre-serialized by the caller.
+
+Scale notes (100 TB): hash cardinality = distinct rows; the md5 keeps
+shuffle rows at 32 bytes + count regardless of row width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+ROW_DEDUP_COLS = [
+    "n_rows", "n_distinct_rows", "n_dup_rows", "n_redundant", "dup_rate",
+]
+
+def row_hash_expr(cols: list[str]) -> str:
+    """SQL text of the canonical row hash over ``cols`` (char(0)/char(31)
+    build the sentinel and separator bytes — no string-escape parsing)."""
+    parts = ", ".join(
+        f"coalesce(cast(`{c}` AS string), char(0))" for c in cols
+    )
+    return f"md5(concat_ws(char(31), {parts}))"
+
+
+def duplicate_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Single-row whole-row duplication summary over ``cols``
+    (default: every column)."""
+    cols = list(cols or df.columns)
+    groups = df.selectExpr(f"{row_hash_expr(cols)} AS h").groupBy("h").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    agg = groups.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_rows"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(F.lit(0))).alias(
+            "n_dup_rows"
+        ),
+    )
+    rate = "cast(n_rows - n_distinct_rows AS double) / cast(n_rows AS double)"
+    return agg.selectExpr(
+        "n_rows", "n_distinct_rows", "n_dup_rows",
+        "n_rows - n_distinct_rows AS n_redundant",
+        f"cast({ROUND6.format(x=rate)} AS double) AS dup_rate",
+    ).select(*ROW_DEDUP_COLS)
+
+
+def duplicate_rows_sql(table: str, cols: list[str]) -> str:
+    """DuckDB mirror (chr() builds the same sentinel/separator bytes)."""
+    parts = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in cols
+    )
+    rate = (
+        "CAST(n_rows - n_distinct_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    )
+    return f"""
+WITH groups AS (
+  SELECT md5(concat_ws(chr(31), {parts})) AS h, COUNT(*) AS sz
+  FROM {table} GROUP BY 1
+),
+agg AS (
+  SELECT SUM(sz) AS n_rows, COUNT(*) AS n_distinct_rows,
+    SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS n_dup_rows
+  FROM groups
+)
+SELECT n_rows, n_distinct_rows, n_dup_rows,
+  n_rows - n_distinct_rows AS n_redundant,
+  CAST({ROUND6.format(x=rate)} AS DOUBLE) AS dup_rate
+FROM agg
+"""
