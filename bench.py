@@ -141,6 +141,10 @@ def main() -> None:
         "dedup_summary_documents",
         "freshness_events",
         "segment_deviations_orders",
+        "format_patterns_orders",
+        "temporal_profile_events",
+        "cooccurrence_lineitem",
+        "duplicate_rows_lineitem",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
