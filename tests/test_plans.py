@@ -104,3 +104,54 @@ def test_exact_dedup_single_shuffle(documents):
     p = plan_str(D.exact_duplicates(documents), "simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_iqr_outliers_has_no_shuffle(lineitem):
+    """Outlier fences: two fused scans joined by a broadcast — zero
+    hash-partition exchanges at any scale."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import iqr_outliers
+
+    p = plan_str(iqr_outliers(lineitem, ["l_quantity", "l_discount"]), "simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_cooccurrence_join_is_equi(lineitem):
+    """Pair generation must be a hash/sort-merge equi-join on the group
+    key, never a nested-loop product."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.cooccurrence import cooccurrence_topk
+
+    p = plan_str(cooccurrence_topk(lineitem, "l_orderkey", "l_partkey", 5), "simple")
+    assert "CartesianProduct" not in p
+    # the pair generator is an equi-join on the group key (the only BNLJ
+    # allowed is the broadcast of the 1-row total)
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_fuzzy_join_is_blocked_equi(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.fuzzy_join import fuzzy_join
+
+    part = read_parquet_table(spark, f"{SF_SMOKE}/part.parquet")
+    p = plan_str(fuzzy_join(part, "p_partkey", "p_name", 2), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ref_integrity_joins_aggregates_not_tables(spark):
+    """The FK join operands must be the aggregated key relations: the plan
+    has aggregates BELOW the join, and the join is equi."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.ref_integrity import referential_integrity
+
+    li = read_parquet_table(spark, f"{SF_SMOKE}/lineitem.parquet")
+    orders = read_parquet_table(spark, f"{SF_SMOKE}/orders.parquet")
+    df = referential_integrity(li, "l_orderkey", orders, "o_orderkey", "l", "o")
+    p = plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pattern_scan_is_single_pass(documents):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS, pattern_scan
+
+    p = plan_str(pattern_scan(documents, PII_PATTERNS), "simple")
+    assert "Exchange hashpartitioning" not in p  # 1-row global agg only
+    assert "Join" not in p

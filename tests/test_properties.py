@@ -171,3 +171,92 @@ def test_grouped_profile_partitions_the_table(spark, rows):
     for r in out:
         if r["name"] == "Completeness" and r["value"] is not None:
             assert 0.0 <= r["value"] <= 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),
+        st.sampled_from(["x", "y", None]),
+    ),
+    min_size=2, max_size=25,
+))
+def test_fd_and_cramers_bounds(spark, rows):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.association import cramers_v
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.fd import fd_strength
+
+    df = spark.createDataFrame(rows, "d string, v string")
+    for r in fd_strength(df, "d", ["v"]).collect():
+        assert 0.0 <= r.group_strength <= 1.0
+        assert 0.0 <= r.row_strength <= 1.0
+        assert r.n_determined_groups <= r.n_groups
+        assert r.n_determined_rows <= r.n_rows
+    both = [t for t in rows if t[0] is not None and t[1] is not None]
+    n_d = len({t[0] for t in both})
+    n_v = len({t[1] for t in both})
+    if both and n_d >= 2 and n_v >= 2:
+        r = cramers_v(df, "d", "v").collect()[0]
+        assert -1e-6 <= r.cramers_v <= 1.0 + 1e-6
+        assert r.chi2 >= -1e-6
+        assert r.n_rows == len(both)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(
+    st.floats(min_value=-1e5, max_value=1e5, allow_nan=False, width=32),
+    min_size=4, max_size=30,
+))
+def test_outlier_and_winsorize_invariants(spark, rows):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import iqr_outliers, winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in rows], "x double")
+    r = iqr_outliers(df, ["x"]).collect()[0]
+    assert r.n_values == len(rows)
+    assert r.n_outliers == r.n_below + r.n_above
+    assert r.lower_fence <= r.upper_fence
+    assert 0.0 <= r.outlier_rate <= 1.0
+    clipped = [row.x for row in winsorize(df, ["x"], 0.1, 0.9).collect()]
+    assert len(clipped) == len(rows)
+    # clip bounds lie within the raw range (rounding tolerance)
+    assert min(clipped) >= min(rows) - 1e-6
+    assert max(clipped) <= max(rows) + 1e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from(["p", "q", "r"])),
+    min_size=1, max_size=30,
+))
+def test_transition_matrix_probabilities(spark, rows):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.transitions import transition_matrix
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i), u, s)
+            for i, (u, s) in enumerate(rows)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    got = transition_matrix(ev).collect()
+    by_from = {}
+    for r in got:
+        assert r.n_transitions <= r.n_from_total
+        assert 0.0 < r.probability <= 1.0
+        by_from.setdefault(r.from_state, 0.0)
+        by_from[r.from_state] += r.probability
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4
