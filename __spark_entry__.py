@@ -344,6 +344,57 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream (same symlink-directory trick as
+    _doc_stream)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet_table(spark, path).schema
+    d = tempfile.mkdtemp(prefix="sg_stream_ev_")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (events stream x literal tier dim) +
+    complete-mode aggregation — the streaming enrichment building block.
+    Deterministic, so it holds a full SQL oracle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.enrichment import enrich_stream
+
+    import tempfile
+    import uuid
+
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], "tier_key int, tier string"
+    )
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "tier_key", (F.col("user_id") % 3).cast("int")
+    )
+    agg = (
+        enrich_stream(ev, dim, on="tier_key")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "cast(sum(cast(value AS decimal(27,6))) AS double)"
+            ).alias("value_sum"),
+        )
+    )
+    name = f"sq_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _run_to_table(out: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a streaming frame with availableNow into a memory sink and
     return the collected batch relation."""
@@ -1385,6 +1436,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "freshness_events": _freshness_events,
         "segment_deviations_orders": _segment_deviations_orders,
+        "stream_enriched_counts": _stream_enriched_counts,
         "format_patterns_orders": _format_patterns_orders,
         "temporal_profile_events": _temporal_profile_events,
         "cooccurrence_lineitem": _cooccurrence_lineitem,
@@ -1624,6 +1676,14 @@ GROUP BY s_nationkey
         "segment_deviations_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.segments", fromlist=["x"]
         ).segment_deviations_sql("orders", "o_orderpriority", "o_totalprice"),
+        "stream_enriched_counts": """
+SELECT CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+  ELSE 'bronze' END AS tier,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1
+""",
         "format_patterns_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.format_patterns", fromlist=["x"]
         ).format_patterns_sql("orders", FORMAT_COLS_Q, k=5),

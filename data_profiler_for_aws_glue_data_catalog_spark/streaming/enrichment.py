@@ -1,0 +1,73 @@
+"""Streaming enrichment and idempotent publication.
+
+Two standard Structured Streaming building blocks the profiler's
+streaming surface needs around its windowed aggregations:
+
+1. **Stream-static join** (`enrich_stream`): join a stream against a
+   static dimension. Spark re-plans the static side per micro-batch, so
+   a broadcast hint keeps the join map-side — the streaming analog of
+   the engine's broadcast-dim discipline. No watermark is needed
+   (stateless join against static data).
+
+2. **foreachBatch keyed upsert** (`upsert_writer`): idempotent
+   publication of update-mode aggregates to a Parquet directory —
+   delete-then-insert by key per micro-batch, the same
+   delete-then-upsert contract as the catalog sink (Glue.java:109-131),
+   but for streaming results. Re-delivered micro-batches (failure
+   replay) converge to the same state because the upsert is keyed, not
+   append-only.
+
+Scale notes (100 TB / production): the upsert rewrites the whole
+target per batch — right for SMALL aggregate outputs (windowed metric
+relations, top-k tables). For large targets swap the body for a
+Delta/Iceberg MERGE; the foreachBatch wiring is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static equi-join with the static side broadcast."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def upsert_writer(spark: SparkSession, target_dir: str, key_cols: list[str]):
+    """Returns a ``foreachBatch`` function that upserts each micro-batch
+    into ``target_dir`` by ``key_cols`` (delete-then-insert semantics).
+
+    Usage::
+
+        q = (agg_stream.writeStream.outputMode("update")
+             .foreachBatch(upsert_writer(spark, out, ["window_start"]))
+             .trigger(availableNow=True).start())
+    """
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        batch = batch.dropDuplicates(key_cols)
+        try:
+            existing = spark.read.parquet(target_dir)
+            merged = existing.join(
+                F.broadcast(batch.select(*key_cols).distinct()),
+                on=key_cols,
+                how="left_anti",
+            ).unionByName(batch)
+        except Exception:
+            merged = batch
+        # localCheckpoint truncates lineage so the overwrite below cannot
+        # re-read the files it is replacing (persist alone could evict and
+        # recompute from the deleted source). Durability beyond this is a
+        # transactional table format's job.
+        merged = merged.localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(target_dir)
+
+    return _upsert
