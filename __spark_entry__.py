@@ -1437,6 +1437,13 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": _freshness_events,
         "segment_deviations_orders": _segment_deviations_orders,
         "stream_enriched_counts": _stream_enriched_counts,
+        "multimodal_frame_sample": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.multimodal", fromlist=["x"]
+            ).frame_sample(
+                _binary_fixture(d).where(F.col("id") < 100), "id", "payload"
+            )
+        ),
         "format_patterns_orders": _format_patterns_orders,
         "temporal_profile_events": _temporal_profile_events,
         "cooccurrence_lineitem": _cooccurrence_lineitem,
@@ -1676,6 +1683,13 @@ GROUP BY s_nationkey
         "segment_deviations_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.segments", fromlist=["x"]
         ).segment_deviations_sql("orders", "o_orderpriority", "o_totalprice"),
+        "multimodal_frame_sample": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.multimodal", fromlist=["x"]
+        ).frame_sample_sql(
+            "(SELECT doc_id AS id, text FROM documents WHERE doc_id < 100)",
+            "id",
+            "text",
+        ),
         "stream_enriched_counts": """
 SELECT CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
   ELSE 'bronze' END AS tier,

@@ -177,3 +177,97 @@ def decode_features(
             )
 
     return src.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "id bigint, frame_idx int, frame_offset bigint, frame_len int, "
+    "frame_md5 string"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    column: str,
+    n_frames: int = 4,
+    frame_len: int = 16,
+) -> DataFrame:
+    """Uniform frame sampling from opaque media payloads — the video
+    analog of decode_features, exercising the one-row -> many-rows
+    ``mapInPandas`` shape a real frame extractor needs.
+
+    For each payload, ``n_frames`` evenly spaced byte windows are cut at
+    ``offset_i = floor(i * n_bytes / n_frames)`` and fingerprinted:
+    (id, frame_idx, frame_offset, frame_len, frame_md5). With a real
+    codec the byte-window slicer becomes the keyframe decoder; every
+    Spark-side aspect (Arrow batches, fan-out row multiplicity, payload
+    projected away before any shuffle) is identical.
+
+    Payloads shorter than one window emit fewer/shorter frames; empty or
+    NULL payloads emit no rows (mirrors explode semantics).
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(column).alias("payload"))
+
+    def sample_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for pid, payload in zip(batch["id"], batch["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                if n == 0:
+                    continue
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    chunk = b[off : off + frame_len]
+                    if not chunk:
+                        continue
+                    rows.append(
+                        (
+                            int(pid), i, off, len(chunk),
+                            hashlib.md5(chunk).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "frame_idx", "frame_offset", "frame_len",
+                    "frame_md5",
+                ],
+            )
+
+    return src.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+
+
+def frame_sample_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_frames: int = 4,
+    frame_len: int = 16,
+) -> str:
+    """DuckDB mirror for ASCII payload fixtures (byte slicing == string
+    slicing for single-byte characters, so substring reproduces the byte
+    windows exactly)."""
+    return f"""
+WITH src AS (
+  SELECT {id_col} AS id, {text_col} AS payload, length({text_col}) AS n
+  FROM {table} WHERE {text_col} IS NOT NULL AND length({text_col}) > 0
+),
+frames AS (
+  SELECT id, CAST(i AS INT) AS frame_idx,
+    CAST((i * n) // {n_frames} AS BIGINT) AS frame_offset,
+    substring(payload, CAST((i * n) // {n_frames} AS BIGINT) + 1, {frame_len})
+      AS chunk
+  FROM src, unnest(range(0, {n_frames})) AS r(i)
+)
+SELECT id, frame_idx, frame_offset,
+  CAST(length(chunk) AS INT) AS frame_len,
+  md5(chunk) AS frame_md5
+FROM frames WHERE length(chunk) > 0
+"""

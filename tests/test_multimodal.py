@@ -92,3 +92,26 @@ def test_no_payload_in_shuffle_plan(payloads):
     # the shuffled row is the partial aggregate's output — fingerprints only
     partial = next(l for l in plan.splitlines() if "partial_count" in l)
     assert "payload" not in partial, partial
+
+
+def test_frame_sample_windows(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.multimodal import frame_sample
+
+    import hashlib
+
+    payload = bytes(range(64))
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, None)], "id bigint, p binary")
+    rows = frame_sample(df, "id", "p", n_frames=4, frame_len=16).collect()
+    assert [r.frame_offset for r in rows] == [0, 16, 32, 48]
+    assert all(r.frame_len == 16 for r in rows)
+    assert rows[0].frame_md5 == hashlib.md5(payload[0:16]).hexdigest()
+    assert {r.id for r in rows} == {1}  # NULL payload emits nothing
+
+
+def test_frame_sample_short_payload(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "id bigint, p binary")
+    rows = frame_sample(df, "id", "p", n_frames=4, frame_len=16).collect()
+    # offsets 0,0,1,2 -> chunks 'abc','abc','bc','c'
+    assert [r.frame_len for r in rows] == [3, 3, 2, 1]
