@@ -1265,6 +1265,52 @@ def _duplicate_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_rows(_t(spark, sf_dir, "lineitem"), ROW_DEDUP_COLS_Q)
 
 
+def _profile_orders_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ analyzer `where`-option parity: the same fused profile scoped
+    to a predicate (filter composes with the profiler, pushed to the scan)."""
+    df = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return _present(profile_table(df, ProfilerConfig(), include_approx=False))
+
+
+COMPOSITE_SETS = [
+    ["o_orderkey"],
+    ["o_custkey"],
+    ["o_custkey", "o_orderdate"],
+    ["o_orderstatus", "o_orderpriority"],
+]
+
+
+def _composite_uniqueness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.keys import composite_uniqueness
+
+    return composite_uniqueness(_t(spark, sf_dir, "orders"), COMPOSITE_SETS)
+
+
+def _resolve_fuzzy_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution composition: blocked fuzzy join -> connected
+    components -> keep-one-per-cluster verdicts."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters import resolve_duplicates
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.fuzzy_join import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_join(
+        part, "p_partkey", "p_name", 1, block_mode="suffix_token"
+    )
+    return resolve_duplicates(part, pairs, "p_partkey", "id1", "id2")
+
+
+EXTREME_COLS_Q = ["l_extendedprice", "l_quantity"]
+
+
+def _extreme_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.extremes import extreme_rows
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "row_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return extreme_rows(li, "row_id", EXTREME_COLS_Q, k=20)
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1449,6 +1495,10 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_lineitem": _cooccurrence_lineitem,
         "fuzzy_join_part": _fuzzy_join_part,
         "duplicate_rows_lineitem": _duplicate_rows_lineitem,
+        "profile_orders_where": _profile_orders_where,
+        "composite_uniqueness_orders": _composite_uniqueness_orders,
+        "resolve_fuzzy_part": _resolve_fuzzy_part,
+        "extreme_rows_lineitem": _extreme_rows_lineitem,
     }
 
 
@@ -1713,6 +1763,35 @@ GROUP BY 1
         "duplicate_rows_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.row_dedup", fromlist=["x"]
         ).duplicate_rows_sql("lineitem", ROW_DEDUP_COLS_Q),
+        "profile_orders_where": O.profile_table_sql(
+            "orders",
+            expensive=False,
+            from_sql="(SELECT * FROM orders WHERE o_orderstatus = 'F')",
+        ),
+        "composite_uniqueness_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.keys", fromlist=["x"]
+        ).composite_uniqueness_sql("orders", COMPOSITE_SETS),
+        "resolve_fuzzy_part": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
+        ).resolve_duplicates_sql(
+            "part",
+            __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.fuzzy_join", fromlist=["x"]
+            ).fuzzy_join_sql(
+                "part", "p_partkey", "p_name", 1, block_mode="suffix_token"
+            ),
+            "p_partkey",
+            "id1",
+            "id2",
+        ),
+        "extreme_rows_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.extremes", fromlist=["x"]
+        ).extreme_rows_sql(
+            "(SELECT *, l_orderkey * 10 + l_linenumber AS row_id FROM lineitem)",
+            "row_id",
+            EXTREME_COLS_Q,
+            k=20,
+        ),
         "windowed_unique_users_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]
         ).windowed_distinct_sql("events"),

@@ -97,3 +97,86 @@ FROM (
   FROM {table}
 )""")
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+COMPOSITE_COLS = [
+    "key_cols", "n_rows_nonnull", "n_combinations", "n_unique_combinations",
+    "distinctness", "uniqueness", "unique_value_ratio",
+]
+
+
+def composite_uniqueness(df: DataFrame, col_sets: list[list[str]]) -> DataFrame:
+    """Deequ's multi-column Uniqueness / Distinctness / UniqueValueRatio
+    for each candidate column combination (the metric-valued complement
+    of candidate_keys' boolean verdict).
+
+    Per set, from one ``groupBy(cols)`` frequency shuffle:
+    distinctness        = #combinations / non-null rows
+    uniqueness          = #combinations seen once / non-null rows
+    unique_value_ratio  = #combinations seen once / #combinations
+    (rows with any NULL key column are excluded, matching Deequ's
+    frequency-table null-drop).
+
+    Each set is an independent branch of one lazy union.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not col_sets:
+        raise ValueError("composite_uniqueness: no column sets")
+    frames = []
+    for cols in col_sets:
+        nn = reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+        )
+        freq = (
+            df.where(nn)
+            .groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        agg = freq.agg(
+            F.sum("cnt").alias("n_rows_nonnull"),
+            F.count(F.lit(1)).alias("n_combinations"),
+            F.sum(
+                F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_unique_combinations"),
+        )
+        d = "cast(n_combinations AS double) / cast(n_rows_nonnull AS double)"
+        u = "cast(n_unique_combinations AS double) / cast(n_rows_nonnull AS double)"
+        r = "cast(n_unique_combinations AS double) / cast(n_combinations AS double)"
+        frames.append(
+            agg.selectExpr(
+                f"'{_label(cols)}' AS key_cols",
+                "n_rows_nonnull", "n_combinations", "n_unique_combinations",
+                f"cast({ROUND6.format(x=d)} AS double) AS distinctness",
+                f"cast({ROUND6.format(x=u)} AS double) AS uniqueness",
+                f"cast({ROUND6.format(x=r)} AS double) AS unique_value_ratio",
+            ).select(*COMPOSITE_COLS)
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def composite_uniqueness_sql(table: str, col_sets: list[list[str]]) -> str:
+    """DuckDB mirror of composite_uniqueness."""
+    arms = []
+    for cols in col_sets:
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        gb = ", ".join(cols)
+        d = "CAST(n_combinations AS DOUBLE) / CAST(n_rows_nonnull AS DOUBLE)"
+        u = "CAST(n_unique_combinations AS DOUBLE) / CAST(n_rows_nonnull AS DOUBLE)"
+        r = "CAST(n_unique_combinations AS DOUBLE) / CAST(n_combinations AS DOUBLE)"
+        arms.append(f"""
+SELECT '{_label(cols)}' AS key_cols, n_rows_nonnull, n_combinations,
+  n_unique_combinations,
+  CAST({ROUND6.format(x=d)} AS DOUBLE) AS distinctness,
+  CAST({ROUND6.format(x=u)} AS DOUBLE) AS uniqueness,
+  CAST({ROUND6.format(x=r)} AS DOUBLE) AS unique_value_ratio
+FROM (
+  SELECT SUM(cnt) AS n_rows_nonnull, COUNT(*) AS n_combinations,
+    SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_unique_combinations
+  FROM (
+    SELECT {gb}, COUNT(*) AS cnt FROM {table} WHERE {nn} GROUP BY {gb}
+  )
+)""")
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({a})" for a in arms)

@@ -66,3 +66,18 @@ def test_all_candidates_one_job(spark, lineitem):
         .toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_composite_uniqueness_metrics(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.keys import composite_uniqueness
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, None)], "k bigint, s string"
+    )
+    got = {r.key_cols: r for r in composite_uniqueness(df, [["k"], ["k", "s"]]).collect()}
+    r = got["k"]
+    assert (r.n_rows_nonnull, r.n_combinations, r.n_unique_combinations) == (4, 3, 2)
+    assert r.distinctness == 0.75
+    assert r.uniqueness == 0.5
+    ks = got["k,s"]  # the (3, None) row drops
+    assert (ks.n_rows_nonnull, ks.n_combinations) == (3, 2)

@@ -81,3 +81,21 @@ def test_profile_wide_pivot(spark, lineitem):
     assert row.Completeness == 1.0
     assert row.Minimum == 1.0 and row.Maximum == 50.0
     assert row.Sum is not None and row.Mean is not None
+
+
+def test_extreme_rows_topk(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.extremes import extreme_rows
+
+    rows = [(i, float(i % 7)) for i in range(50)] + [(100, 1000.0), (101, -1000.0)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = extreme_rows(df, "id", ["v"], k=3).collect()
+    assert [r.id for r in got[:2]] == [100, 101] or {got[0].id, got[1].id} == {100, 101}
+    assert abs(got[0].zscore) > abs(got[2].zscore)
+    assert len(got) == 3
+
+
+def test_extreme_rows_constant_column_empty(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.extremes import extreme_rows
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id bigint, v double")
+    assert extreme_rows(df, "id", ["v"], k=5).count() == 0
