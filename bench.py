@@ -145,6 +145,11 @@ def main() -> None:
         "temporal_profile_events",
         "cooccurrence_lineitem",
         "duplicate_rows_lineitem",
+        "stream_enriched_counts",
+        "multimodal_frame_sample",
+        "profile_orders_where",
+        "composite_uniqueness_orders",
+        "extreme_rows_lineitem",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
