@@ -1311,6 +1311,59 @@ def _extreme_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extreme_rows(li, "row_id", EXTREME_COLS_Q, k=20)
 
 
+CM_TABLES = {
+    "nation": ["n_nationkey", "n_regionkey", "n_name"],
+    "region": ["r_regionkey", "r_name"],
+    "customer": ["c_nationkey"],
+    "supplier": ["s_nationkey"],
+}
+
+
+def _column_matches_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.column_match import duplicate_columns
+
+    tables = {t: _t(spark, sf_dir, t) for t in CM_TABLES}
+    return duplicate_columns(spark, tables, CM_TABLES)
+
+
+def _trend_slopes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.trend import trend_slopes
+
+    return trend_slopes(_t(spark, sf_dir, "events"))
+
+
+def _topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.topk import topk_per_group
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return topk_per_group(ev, "event_type", "value", 5, tie_col="event_id")
+
+
+SCD2_TS = ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+
+
+def _scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of customer against a derived next snapshot: every
+    5th key changes segment, every 97th key is removed (the oracle
+    derives the identical snapshot in SQL)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.scd2 import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_mktsegment", "c_nationkey")
+    new = (
+        cust.where(F.col("c_custkey") % 97 != 0)
+        .selectExpr(
+            "c_custkey",
+            "CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END"
+            " AS c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    return scd2_merge(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_nationkey"], *SCD2_TS
+    )
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1499,6 +1552,10 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_uniqueness_orders": _composite_uniqueness_orders,
         "resolve_fuzzy_part": _resolve_fuzzy_part,
         "extreme_rows_lineitem": _extreme_rows_lineitem,
+        "column_matches_tpch": _column_matches_tpch,
+        "trend_slopes_events": _trend_slopes_events,
+        "topk_events_per_type": _topk_events_per_type,
+        "scd2_customer": _scd2_customer,
     }
 
 
@@ -1783,6 +1840,29 @@ GROUP BY 1
             "p_partkey",
             "id1",
             "id2",
+        ),
+        "column_matches_tpch": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.column_match", fromlist=["x"]
+        ).duplicate_columns_sql(CM_TABLES),
+        "trend_slopes_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.trend", fromlist=["x"]
+        ).trend_slopes_sql("events"),
+        "topk_events_per_type": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.topk", fromlist=["x"]
+        ).topk_per_group_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "event_type", "value", 5, tie_col="event_id",
+        ),
+        "scd2_customer": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.scd2", fromlist=["x"]
+        ).scd2_merge_sql(
+            "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer",
+            "SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED'"
+            " ELSE c_mktsegment END AS c_mktsegment, c_nationkey"
+            " FROM customer WHERE c_custkey % 97 <> 0",
+            ["c_custkey"],
+            ["c_mktsegment", "c_nationkey"],
+            *SCD2_TS,
         ),
         "extreme_rows_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.extremes", fromlist=["x"]
