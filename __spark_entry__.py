@@ -1364,6 +1364,34 @@ def _scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsd_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.divergence import js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    return js_divergence(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+
+
+def _missing_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection over a derived table with real holes (every 5th day
+    of month removed — the oracle removes the same days)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.gaps import missing_days
+
+    ev = _t(spark, sf_dir, "events").where(F.dayofmonth("ts") % 5 != 0)
+    return missing_days(ev)
+
+
+def _file_balance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-layout diagnostic — rows-only check (file identity is
+    invisible to the DuckDB oracle by design)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.file_balance import file_balance
+
+    return file_balance(_t(spark, sf_dir, "lineitem"))
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1556,6 +1584,10 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slopes_events": _trend_slopes_events,
         "topk_events_per_type": _topk_events_per_type,
         "scd2_customer": _scd2_customer,
+        "jsd_events_halves": _jsd_events_halves,
+        "missing_days_events": _missing_days_events,
+        # rows-only by design: file identity has no DuckDB analog
+        "file_balance_lineitem": _file_balance_lineitem,
     }
 
 
@@ -1841,6 +1873,16 @@ GROUP BY 1
             "id1",
             "id2",
         ),
+        "jsd_events_halves": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.divergence", fromlist=["x"]
+        ).js_divergence_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT * FROM events WHERE event_id % 2 = 1",
+            "event_type",
+        ),
+        "missing_days_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.gaps", fromlist=["x"]
+        ).missing_days_sql("(SELECT * FROM events WHERE day(ts) % 5 <> 0)"),
         "column_matches_tpch": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.column_match", fromlist=["x"]
         ).duplicate_columns_sql(CM_TABLES),

@@ -1,0 +1,108 @@
+"""Jensen-Shannon divergence between two categorical distributions.
+
+Symmetric, bounded distribution distance (Lin 1991, public):
+JSD(P||Q) = H(M) - (H(P)+H(Q))/2 with M = (P+Q)/2, equivalently
+0.5*KL(P||M) + 0.5*KL(Q||M); natural log, range [0, ln 2]. The
+categorical complement of psi.py's binned numeric drift — compare
+event mixes, label distributions, source compositions between two
+slices/snapshots.
+
+Plan shape: each side collapses to its value frequencies (one
+combine-friendly shuffle each), the two SMALL frequency relations
+full-outer-join on the value (absent = probability 0), and per-value
+divergence terms ROUND6 + DECIMAL-accumulate into one row — the
+cross-value sum is order-free.
+
+Scale notes (100 TB): data-sized work is the two frequency
+aggregations; everything after is |categories|-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+JSD_COLS = ["column", "n_left", "n_right", "n_categories", "jsd"]
+
+
+def _freqs(df: DataFrame, col: str, side: str) -> DataFrame:
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+    )
+
+
+def js_divergence(
+    left: DataFrame, right: DataFrame, col: str
+) -> DataFrame:
+    """Single-row JSD between the two frames' distributions of ``col``
+    (NULLs excluded; natural log)."""
+    lf, rf = _freqs(left, col, "l"), _freqs(right, col, "r")
+    joined = lf.join(rf, on="v", how="full_outer").select(
+        F.coalesce(F.col("c_l"), F.lit(0)).alias("cl"),
+        F.coalesce(F.col("c_r"), F.lit(0)).alias("cr"),
+    )
+    tot = joined.agg(
+        F.sum("cl").alias("nl"), F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    cells = joined.crossJoin(F.broadcast(tot))
+    p = "(cast(cl AS double) / cast(nl AS double))"
+    q = "(cast(cr AS double) / cast(nr AS double))"
+    m = f"(({p} + {q}) / 2.0)"
+    # 0*ln(0/..) terms drop via the CASE guards
+    term = (
+        f"(CASE WHEN cl > 0 THEN 0.5 * {p} * ln({p} / {m}) ELSE 0.0 END)"
+        f" + (CASE WHEN cr > 0 THEN 0.5 * {q} * ln({q} / {m}) ELSE 0.0 END)"
+    )
+    agg = cells.agg(
+        F.expr(f"sum(cast({ROUND6.format(x=term)} AS decimal(27,6)))").alias(
+            "jsd_dec"
+        ),
+        F.max("nl").alias("n_left"),
+        F.max("nr").alias("n_right"),
+        F.max("k").alias("n_categories"),
+    )
+    return agg.selectExpr(
+        f"'{col}' AS column",
+        "n_left", "n_right", "n_categories",
+        f"cast({ROUND6.format(x='cast(jsd_dec AS double)')} AS double) AS jsd",
+    ).select(*JSD_COLS)
+
+
+def js_divergence_sql(left_sql: str, right_sql: str, col: str) -> str:
+    """DuckDB mirror (same guards, rounding, decimal accumulation)."""
+    p = "(CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE))"
+    q = "(CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+    term = (
+        f"(CASE WHEN cl > 0 THEN 0.5 * {p} * ln({p} / {m}) ELSE 0.0 END)"
+        f" + (CASE WHEN cr > 0 THEN 0.5 * {q} * ln({q} / {m}) ELSE 0.0 END)"
+    )
+    return f"""
+WITH lf AS (
+  SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c_l
+  FROM ({left_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+),
+rf AS (
+  SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c_r
+  FROM ({right_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(c_l, 0) AS cl, COALESCE(c_r, 0) AS cr
+  FROM lf FULL OUTER JOIN rf USING (v)
+),
+tot AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr, COUNT(*) AS k FROM joined),
+agg AS (
+  SELECT SUM(CAST({ROUND6.format(x=term)} AS DECIMAL(27,6))) AS jsd_dec,
+    MAX(nl) AS n_left, MAX(nr) AS n_right, MAX(k) AS n_categories
+  FROM joined CROSS JOIN tot
+)
+SELECT '{col}' AS "column", n_left, n_right, n_categories,
+  CAST({ROUND6.format(x='CAST(jsd_dec AS DOUBLE)')} AS DOUBLE) AS jsd
+FROM agg
+"""
