@@ -150,6 +150,13 @@ def main() -> None:
         "profile_orders_where",
         "composite_uniqueness_orders",
         "extreme_rows_lineitem",
+        "column_matches_tpch",
+        "trend_slopes_events",
+        "topk_events_per_type",
+        "scd2_customer",
+        "jsd_events_halves",
+        "missing_days_events",
+        "file_balance_lineitem",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
