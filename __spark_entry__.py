@@ -1392,6 +1392,30 @@ def _file_balance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_balance(_t(spark, sf_dir, "lineitem"))
 
 
+MASK_STRATEGIES = {
+    "c_name": "hash",
+    "c_mktsegment": "prefix",
+    "c_acctbal": "bucket",
+}
+
+
+def _mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.masking import mask_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    strategies = {c: s for c, s in MASK_STRATEGIES.items() if c in cust.columns}
+    return mask_columns(cust, strategies, seed=7)
+
+
+def _hourly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: exact per-group quantiles keyed by the event hour —
+    the hourly p50/p90/p99 latency-band chart."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_quantiles import grouped_quantiles
+
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    return grouped_quantiles(ev, "hour", ["value"], [0.5, 0.9, 0.99])
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1584,6 +1608,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slopes_events": _trend_slopes_events,
         "topk_events_per_type": _topk_events_per_type,
         "scd2_customer": _scd2_customer,
+        "mask_customer": _mask_customer,
+        "hourly_value_bands_events": _hourly_value_bands,
         "jsd_events_halves": _jsd_events_halves,
         "missing_days_events": _missing_days_events,
         # rows-only by design: file identity has no DuckDB analog
@@ -1872,6 +1898,22 @@ GROUP BY 1
             "p_partkey",
             "id1",
             "id2",
+        ),
+        "mask_customer": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.masking", fromlist=["x"]
+        ).mask_columns_sql(
+            "customer",
+            [c for c, _, _ in O.TABLE_COLUMNS["customer"]],
+            MASK_STRATEGIES,
+            seed=7,
+        ),
+        "hourly_value_bands_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_quantiles", fromlist=["x"]
+        ).grouped_quantiles_sql(
+            "(SELECT hour(ts) AS hour, value FROM events)",
+            "hour",
+            ["value"],
+            [0.5, 0.9, 0.99],
         ),
         "jsd_events_halves": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.divergence", fromlist=["x"]
