@@ -1416,6 +1416,37 @@ def _hourly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantiles(ev, "hour", ["value"], [0.5, 0.9, 0.99])
 
 
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        EMB_DIM,
+    )
+
+
+def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: per-source corpus quality dashboard (decimal means of
+    the text-quality scores, one groupBy)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "cast(cast(sum(cast(quality AS decimal(27,6))) AS double)"
+            " / count(quality) AS double)"
+        ).alias("mean_quality"),
+        F.expr(
+            "cast(cast(sum(cast(len_score AS decimal(27,6))) AS double)"
+            " / count(len_score) AS double)"
+        ).alias("mean_len_score"),
+    )
+
+
 def _scan_patterns():
     from data_profiler_for_aws_glue_data_catalog_spark.operators.pattern_scan import PII_PATTERNS
 
@@ -1610,6 +1641,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": _scd2_customer,
         "mask_customer": _mask_customer,
         "hourly_value_bands_events": _hourly_value_bands,
+        "embedding_drift_halves": _embedding_drift,
+        "quality_by_source_documents": _quality_by_source,
         "jsd_events_halves": _jsd_events_halves,
         "missing_days_events": _missing_days_events,
         # rows-only by design: file identity has no DuckDB analog
@@ -1899,6 +1932,23 @@ GROUP BY 1
             "id1",
             "id2",
         ),
+        "embedding_drift_halves": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats", fromlist=["x"]
+        ).embedding_drift_sql(
+            "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+            "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
+            EMB_DIM,
+        ),
+        "quality_by_source_documents": f"""
+WITH q AS ({OX.quality_score_sql()})
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(CAST(SUM(CAST(q.quality AS DECIMAL(27,6))) AS DOUBLE)
+    / COUNT(q.quality) AS DOUBLE) AS mean_quality,
+  CAST(CAST(SUM(CAST(q.len_score AS DECIMAL(27,6))) AS DOUBLE)
+    / COUNT(q.len_score) AS DOUBLE) AS mean_len_score
+FROM q JOIN documents d ON q.doc_id = d.doc_id
+GROUP BY d.source
+""",
         "mask_customer": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.masking", fromlist=["x"]
         ).mask_columns_sql(

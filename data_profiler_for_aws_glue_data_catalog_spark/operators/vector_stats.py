@@ -31,6 +31,7 @@ with an IEEE fallback branch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
@@ -200,3 +201,90 @@ FROM (
     max(CASE WHEN {clean} THEN {nr} END) AS max_norm
   FROM {table}
 )"""
+
+
+DRIFT_COLS = [
+    "n_old", "n_new", "cosine_of_means", "mean_shift_l2",
+    "mean_norm_old", "mean_norm_new",
+]
+
+
+def _mean_vec_row(df: DataFrame, dim: int, vec_col: str, tag: str):
+    """1-row frame of per-dim ROUND6'd decimal means + count, fused scan."""
+    exprs = [f"count({vec_col}) AS n_{tag}"]
+    for i in range(dim):
+        x = f"cast(try_element_at({vec_col}, {i + 1}) AS double)"
+        xd = f"try_cast({ROUND6.format(x=x)} AS {_DEC})"
+        exprs.append(
+            f"cast({ROUND6.format(x=f'try_divide(cast(sum({xd}) AS double), count({x}))')} AS double)"
+            f" AS m{tag}_{i}"
+        )
+    return df.selectExpr(*exprs)
+
+
+def embedding_drift(
+    old: DataFrame, new: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Centroid drift between two embedding snapshots (single row):
+    cosine between the mean vectors, L2 shift, and both mean norms.
+
+    Plan shape: one fused mean-vector scan per side (zero shuffles), a
+    1-row x 1-row broadcast cross join, and a fixed 64-term arithmetic
+    expression — deterministic left-associated addition, ROUND6'd, so
+    both engines agree bit-for-bit.
+
+    Scale notes (100 TB): two scans total; everything downstream is a
+    single row regardless of corpus size.
+    """
+    a = _mean_vec_row(old, dim, vec_col, "old")
+    b = _mean_vec_row(new, dim, vec_col, "new")
+    row = a.crossJoin(F.broadcast(b))
+    dot = " + ".join(f"mold_{i} * mnew_{i}" for i in range(dim))
+    na = " + ".join(f"mold_{i} * mold_{i}" for i in range(dim))
+    nb = " + ".join(f"mnew_{i} * mnew_{i}" for i in range(dim))
+    l2 = " + ".join(
+        f"(mold_{i} - mnew_{i}) * (mold_{i} - mnew_{i})" for i in range(dim)
+    )
+    cos = f"try_divide({dot}, sqrt({na}) * sqrt({nb}))"
+    return row.selectExpr(
+        "n_old",
+        "n_new",
+        f"cast({ROUND6.format(x=cos)} AS double) AS cosine_of_means",
+        f"cast({ROUND6.format(x=f'sqrt({l2})')} AS double) AS mean_shift_l2",
+        f"cast({ROUND6.format(x=f'sqrt({na})')} AS double) AS mean_norm_old",
+        f"cast({ROUND6.format(x=f'sqrt({nb})')} AS double) AS mean_norm_new",
+    ).select(*DRIFT_COLS)
+
+
+def embedding_drift_sql(
+    old_sql: str, new_sql: str, dim: int, vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror (same per-dim decimal means and term order)."""
+
+    def side(sql: str, tag: str) -> str:
+        cols = [f"COUNT({vec_col}) AS n_{tag}"]
+        for i in range(dim):
+            x = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
+            xd = f"CAST({ROUND6.format(x=x)} AS {_DDEC})"
+            cols.append(
+                f"CAST({ROUND6.format(x=f'CAST(SUM({xd}) AS DOUBLE) / COUNT({x})')} AS DOUBLE)"
+                f" AS m{tag}_{i}"
+            )
+        return f"SELECT {', '.join(cols)} FROM ({sql})"
+
+    dot = " + ".join(f"mold_{i} * mnew_{i}" for i in range(dim))
+    na = " + ".join(f"mold_{i} * mold_{i}" for i in range(dim))
+    nb = " + ".join(f"mnew_{i} * mnew_{i}" for i in range(dim))
+    l2 = " + ".join(
+        f"(mold_{i} - mnew_{i}) * (mold_{i} - mnew_{i})" for i in range(dim)
+    )
+    cos = f"({dot}) / NULLIF(SQRT({na}) * SQRT({nb}), 0.0)"
+    return f"""
+WITH a AS ({side(old_sql, 'old')}), b AS ({side(new_sql, 'new')})
+SELECT n_old, n_new,
+  CAST({ROUND6.format(x=cos)} AS DOUBLE) AS cosine_of_means,
+  CAST({ROUND6.format(x=f'SQRT({l2})')} AS DOUBLE) AS mean_shift_l2,
+  CAST({ROUND6.format(x=f'SQRT({na})')} AS DOUBLE) AS mean_norm_old,
+  CAST({ROUND6.format(x=f'SQRT({nb})')} AS DOUBLE) AS mean_norm_new
+FROM a CROSS JOIN b
+"""

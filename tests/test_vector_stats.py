@@ -71,3 +71,26 @@ def test_norm_stats_empty(spark):
     r = VS.vector_norm_stats(df, 2).collect()[0]
     assert r.n_vectors == 0
     assert r.mean_norm is None and r.min_norm is None
+
+
+def test_embedding_drift_identical_snapshots(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import embedding_drift
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = embedding_drift(df, df, 3).collect()[0]
+    assert r.cosine_of_means == 1.0
+    assert r.mean_shift_l2 == 0.0
+    assert r.mean_norm_old == r.mean_norm_new == 1.0
+
+
+def test_embedding_drift_orthogonal(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import embedding_drift
+
+    a = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame([(2, [0.0, 1.0])], "vec_id bigint, embedding array<double>")
+    r = embedding_drift(a, b, 2).collect()[0]
+    assert r.cosine_of_means == 0.0
+    assert abs(r.mean_shift_l2 - 2 ** 0.5) < 1e-5
