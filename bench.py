@@ -157,6 +157,10 @@ def main() -> None:
         "jsd_events_halves",
         "missing_days_events",
         "file_balance_lineitem",
+        "mask_customer",
+        "hourly_value_bands_events",
+        "embedding_drift_halves",
+        "quality_by_source_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
