@@ -1643,6 +1643,11 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_bands_events": _hourly_value_bands,
         "embedding_drift_halves": _embedding_drift,
         "quality_by_source_documents": _quality_by_source,
+        "unigram_surprisal_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.surprisal", fromlist=["x"]
+            ).unigram_surprisal(d)
+        ),
         "jsd_events_halves": _jsd_events_halves,
         "missing_days_events": _missing_days_events,
         # rows-only by design: file identity has no DuckDB analog
@@ -1932,6 +1937,9 @@ GROUP BY 1
             "id1",
             "id2",
         ),
+        "unigram_surprisal_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.surprisal", fromlist=["x"]
+        ).unigram_surprisal_sql("documents"),
         "embedding_drift_halves": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats", fromlist=["x"]
         ).embedding_drift_sql(

@@ -155,3 +155,32 @@ def test_pattern_scan_is_single_pass(documents):
     p = plan_str(pattern_scan(documents, PII_PATTERNS), "simple")
     assert "Exchange hashpartitioning" not in p  # 1-row global agg only
     assert "Join" not in p
+
+
+def test_scd2_single_join_no_window(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.scd2 import scd2_merge
+
+    cust = read_parquet_table(spark, f"{SF_SMOKE}/customer.parquet")
+    old = cust.select("c_custkey", "c_mktsegment")
+    new = cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_mktsegment")
+    p = plan_str(scd2_merge(old, new, ["c_custkey"], ["c_mktsegment"],
+                            "2024-01-01 00:00:00", "2024-02-01 00:00:00"), "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p  # classification is map-side, not a window
+
+
+def test_trend_shuffles_are_entity_keyed(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.trend import trend_slopes
+
+    ev = read_parquet_table(spark, f"{SF_SMOKE}/events.parquet")
+    p = plan_str(trend_slopes(ev), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_column_fingerprints_no_shuffle(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.column_match import column_fingerprints
+
+    nation = read_parquet_table(spark, f"{SF_SMOKE}/nation.parquet")
+    p = plan_str(column_fingerprints(nation, "nation"), "simple")
+    assert "Exchange hashpartitioning" not in p  # 1-row fused min-agg only
