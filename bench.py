@@ -161,6 +161,7 @@ def main() -> None:
         "hourly_value_bands_events",
         "embedding_drift_halves",
         "quality_by_source_documents",
+        "unigram_surprisal_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
