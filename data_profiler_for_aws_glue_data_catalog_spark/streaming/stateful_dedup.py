@@ -132,3 +132,30 @@ def stream_occurrence_index(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native bounded-state streaming dedup via
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+ public API).
+
+    Where :func:`stream_exact_dedup` keeps EVERY seen content hash in
+    state forever (exact across the whole stream, unbounded state),
+    this drops duplicates only within the watermark horizon — state
+    evicts as event time advances, the production tradeoff for
+    endless streams. Duplicates farther apart than the watermark can
+    both survive (documented recall bound, not a bug).
+
+    The dedup key is the same normalized-content hash as the exact
+    path, so the two variants are interchangeable downstream.
+    """
+    keyed = stream.withColumn(
+        "content_md5", X.md5_hex(X.normalized(F.col(text_col)))
+    )
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )

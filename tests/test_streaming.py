@@ -211,3 +211,27 @@ def test_windowed_compliance_streaming_matches_batch(spark, tmp_path):
     last_ws = max(k[0] for k in batch)
     closed = {k: v for k, v in batch.items() if k[0] != last_ws}
     assert streamed == closed
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.stateful_dedup import (
+        stream_dedup_within_watermark,
+    )
+
+    df, stream = _mk_doc_stream(spark, tmp_path, "wmdedup")
+    out = stream_dedup_within_watermark(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("wm_dedup_t").collect()
+    # one survivor per distinct content within the single micro-batch
+    n_distinct = df.selectExpr(
+        "count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))) AS n"
+    ).collect()[0].n
+    assert len(got) == n_distinct
+    assert len({r.content_md5 for r in got}) == len(got)
