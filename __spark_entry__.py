@@ -1643,6 +1643,23 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_bands_events": _hourly_value_bands,
         "embedding_drift_halves": _embedding_drift,
         "quality_by_source_documents": _quality_by_source,
+        "dedup_resolve_by_quality": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
+            ).resolve_duplicates_by_score(
+                d.join(
+                    __import__(
+                        "data_profiler_for_aws_glue_data_catalog_spark.operators.text_analysis",
+                        fromlist=["x"],
+                    ).quality_score(d).select("doc_id", "quality"),
+                    "doc_id",
+                ),
+                __import__(
+                    "data_profiler_for_aws_glue_data_catalog_spark.operators.dedup", fromlist=["x"]
+                ).minhash_lsh_near_duplicates(d),
+                "quality",
+            )
+        ),
         "unigram_surprisal_documents": _docs_op(
             lambda d: __import__(
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.surprisal", fromlist=["x"]
@@ -1936,6 +1953,13 @@ GROUP BY 1
             "p_partkey",
             "id1",
             "id2",
+        ),
+        "dedup_resolve_by_quality": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
+        ).resolve_duplicates_by_score_sql(
+            "documents",
+            OX.minhash_lsh_near_duplicates_sql(),
+            f"SELECT doc_id, quality AS score FROM ({OX.quality_score_sql()})",
         ),
         "unigram_surprisal_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.surprisal", fromlist=["x"]

@@ -162,6 +162,7 @@ def main() -> None:
         "embedding_drift_halves",
         "quality_by_source_documents",
         "unigram_surprisal_documents",
+        "dedup_resolve_by_quality",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

@@ -128,3 +128,69 @@ SELECT d.{id_col} AS id,
   d.{id_col} = COALESCE(c.cluster_id, d.{id_col}) AS is_keep
 FROM {docs_table} d LEFT JOIN clusters c ON d.{id_col} = c.id
 """
+
+
+def resolve_duplicates_by_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Keep-BEST-per-cluster resolution: like resolve_duplicates, but the
+    keeper is the cluster member with the highest ``score_col`` (id
+    ascending breaks score ties) — the production dedup policy when a
+    quality signal exists ("keep the best copy, not the first copy").
+
+    Output: (id, cluster_id, score, is_keep). One extra window over the
+    |docs|-sized labeled relation on top of the component labeling.
+    """
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    labeled = (
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            "score",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn("is_keep", F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def resolve_duplicates_by_score_sql(
+    docs_table: str,
+    pairs_sql: str,
+    score_sql: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> str:
+    """DuckDB mirror; ``score_sql`` yields ({id_col}, score) per doc."""
+    return f"""
+WITH clusters AS ({duplicate_clusters_sql(pairs_sql, id_a, id_b)}),
+scores AS ({score_sql}),
+labeled AS (
+  SELECT d.{id_col} AS id,
+    COALESCE(c.cluster_id, d.{id_col}) AS cluster_id,
+    s.score
+  FROM {docs_table} d
+  LEFT JOIN clusters c ON d.{id_col} = c.id
+  JOIN scores s ON d.{id_col} = s.{id_col}
+)
+SELECT id, cluster_id, score,
+  ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY score DESC, id ASC
+  ) = 1 AS is_keep
+FROM labeled
+"""

@@ -46,3 +46,19 @@ def test_resolve_keeps_singletons_and_min_ids(spark):
         4: (2, False),
         5: (2, False),
     }
+
+
+def test_resolve_by_score_keeps_best(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters import (
+        resolve_duplicates_by_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.1)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    got = {r.id: r for r in resolve_duplicates_by_score(docs, pairs, "q").collect()}
+    # cluster {1,2,3}: doc 2 has the best score
+    assert got[2].is_keep and not got[1].is_keep and not got[3].is_keep
+    assert got[4].is_keep  # singleton
+    assert got[1].cluster_id == got[2].cluster_id == got[3].cluster_id
