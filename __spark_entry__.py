@@ -1589,6 +1589,11 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).word_repetition(d)
         ),
         "iqr_outliers_lineitem": _iqr_outliers_lineitem,
+        "mad_outliers_lineitem": (
+            lambda spark, sf_dir: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.outliers", fromlist=["x"]
+            ).mad_outliers(_t(spark, sf_dir, "lineitem"), OUTLIER_COLS_LI)
+        ),
         "equidepth_histogram_lineitem": _equidepth_lineitem,
         "sample_per_lang_documents": _sample_per_lang,
         "bucketed_join_orders": _bucketed_join_orders,
@@ -1864,6 +1869,9 @@ def _extension_oracles() -> dict[str, str]:
         "iqr_outliers_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.outliers", fromlist=["x"]
         ).iqr_outliers_sql("lineitem", OUTLIER_COLS_LI),
+        "mad_outliers_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.outliers", fromlist=["x"]
+        ).mad_outliers_sql("lineitem", OUTLIER_COLS_LI),
         "equidepth_histogram_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram", fromlist=["x"]
         ).equi_depth_histogram_sql("lineitem", ["l_extendedprice", "l_quantity"], 8),

@@ -239,3 +239,157 @@ WITH bounds AS (
 )
 SELECT {out_cols} FROM {table} CROSS JOIN bounds
 """
+
+
+MAD_COLS = [
+    "column", "median", "mad", "lower_fence", "upper_fence",
+    "n_values", "n_outliers", "outlier_rate",
+]
+
+
+def mad_outliers(
+    df: DataFrame,
+    columns: list[str],
+    k: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection — the heavy-tail-safe
+    alternative to the IQR fences: values outside
+    ``median ± k * scale * MAD`` with ``MAD = median(|x - median|)``
+    (scale 1.4826 makes MAD consistent with sigma under normality,
+    public statistics).
+
+    Plan shape: THREE scans, ZERO shuffles — exact median per column
+    (one fused 1-row agg), broadcast back for the |x - median| median
+    (second fused agg), broadcast fences for the final count pass.
+    Median and MAD are ROUND6'd BEFORE the fences derive from them, so
+    both engines run the comparison on identical doubles.
+    """
+    if not columns:
+        raise ValueError("mad_outliers: need at least one column")
+    med = df.selectExpr(
+        *[
+            f"cast({ROUND6.format(x=f'percentile({sql_ident(c)}, 0.5)')} AS double) AS med_{i}"
+            for i, c in enumerate(columns)
+        ]
+    )
+    mad_agg = df.crossJoin(F.broadcast(med)).selectExpr(
+        *[f"first(med_{i}) AS med_{i}" for i in range(len(columns))],
+        *[
+            f"cast({ROUND6.format(x=f'percentile(abs(cast({sql_ident(c)} AS double) - med_{i}), 0.5)')} AS double) AS mad_{i}"
+            for i, c in enumerate(columns)
+        ],
+    )
+    fences = mad_agg.selectExpr(
+        *[
+            e
+            for i in range(len(columns))
+            for e in (
+                f"med_{i}",
+                f"mad_{i}",
+                f"cast({ROUND6.format(x=f'med_{i} - {k!r} * {scale!r} * mad_{i}')} AS double) AS lo_{i}",
+                f"cast({ROUND6.format(x=f'med_{i} + {k!r} * {scale!r} * mad_{i}')} AS double) AS hi_{i}",
+            )
+        ]
+    )
+    counted = df.crossJoin(F.broadcast(fences)).selectExpr(
+        *[
+            e
+            for i, c in enumerate(columns)
+            for e in (
+                f"med_{i}", f"mad_{i}", f"lo_{i}", f"hi_{i}",
+                f"cast({sql_ident(c)} IS NOT NULL AS int) AS v_{i}",
+                f"cast({sql_ident(c)} < lo_{i} OR {sql_ident(c)} > hi_{i} AS int) AS o_{i}",
+            )
+        ]
+    ).agg(
+        *[
+            a
+            for i in range(len(columns))
+            for a in (
+                F.first(f"med_{i}").alias(f"med_{i}"),
+                F.first(f"mad_{i}").alias(f"mad_{i}"),
+                F.first(f"lo_{i}").alias(f"lo_{i}"),
+                F.first(f"hi_{i}").alias(f"hi_{i}"),
+                F.sum(f"v_{i}").alias(f"n_{i}"),
+                F.sum(f"o_{i}").alias(f"no_{i}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', med_{i}, mad_{i}, lo_{i}, hi_{i}, n_{i}, no_{i}"
+        for i, c in enumerate(columns)
+    )
+    rate = "cast(n_outliers AS double) / cast(n_values AS double)"
+    return counted.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(column, median, mad, lower_fence, upper_fence, n_values, n_outliers)"
+    ).selectExpr(
+        "column", "median", "mad", "lower_fence", "upper_fence",
+        "n_values", "n_outliers",
+        f"cast({ROUND6.format(x=rate)} AS double) AS outlier_rate",
+    ).select(*MAD_COLS)
+
+
+def mad_outliers_sql(
+    table: str, columns: list[str], k: float = 3.0, scale: float = 1.4826
+) -> str:
+    """DuckDB mirror (quantile_cont medians; fences from the ROUNDED
+    median/MAD, identical to the Spark chain)."""
+    med_cols = ",\n    ".join(
+        f"CAST({ROUND6.format(x=f'quantile_cont({c}, 0.5)')} AS DOUBLE) AS med_{i}"
+        for i, c in enumerate(columns)
+    )
+    mad_cols = ",\n    ".join(
+        f"MIN(med_{i}) AS med_{i},"
+        f" CAST({ROUND6.format(x=f'quantile_cont(ABS(CAST({c} AS DOUBLE) - med_{i}), 0.5)')} AS DOUBLE) AS mad_{i}"
+        for i, c in enumerate(columns)
+    )
+    fence_cols = ",\n    ".join(
+        f"med_{i}, mad_{i},"
+        f" CAST({ROUND6.format(x=f'med_{i} - {k!r} * {scale!r} * mad_{i}')} AS DOUBLE) AS lo_{i},"
+        f" CAST({ROUND6.format(x=f'med_{i} + {k!r} * {scale!r} * mad_{i}')} AS DOUBLE) AS hi_{i}"
+        for i in range(len(columns))
+    )
+    count_cols = ",\n    ".join(
+        f"MIN(med_{i}) AS med_{i}, MIN(mad_{i}) AS mad_{i},"
+        f" MIN(lo_{i}) AS lo_{i}, MIN(hi_{i}) AS hi_{i},"
+        f" SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS n_{i},"
+        f" SUM(CASE WHEN {c} < lo_{i} OR {c} > hi_{i} THEN 1 ELSE 0 END) AS no_{i}"
+        for i, c in enumerate(columns)
+    )
+    rate = "CAST(n_outliers AS DOUBLE) / CAST(n_values AS DOUBLE)"
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", med_{i} AS median, mad_{i} AS mad,
+  lo_{i} AS lower_fence, hi_{i} AS upper_fence,
+  n_{i} AS n_values, no_{i} AS n_outliers FROM counted"""
+        for i, c in enumerate(columns)
+    )
+    return f"""
+WITH med AS (
+  SELECT
+    {med_cols}
+  FROM {table}
+),
+madt AS (
+  SELECT
+    {mad_cols}
+  FROM {table} CROSS JOIN med
+),
+fences AS (
+  SELECT
+    {fence_cols}
+  FROM madt
+),
+counted AS (
+  SELECT
+    {count_cols}
+  FROM {table} CROSS JOIN fences
+),
+long AS (
+{arms}
+)
+SELECT "column", median, mad, lower_fence, upper_fence, n_values, n_outliers,
+  CAST({ROUND6.format(x=rate)} AS DOUBLE) AS outlier_rate
+FROM long
+"""

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from data_profiler_for_aws_glue_data_catalog_spark.operators import outliers as OU
 from data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram import (
     equi_depth_histograms,
@@ -99,3 +101,26 @@ def test_extreme_rows_constant_column_empty(spark):
 
     df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id bigint, v double")
     assert extreme_rows(df, "id", ["v"], k=5).count() == 0
+
+
+def test_mad_outliers_basic(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import mad_outliers
+
+    vals = [10.0] * 20 + [11.0] * 20 + [9.0] * 20 + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = mad_outliers(df, ["x"]).collect()[0]
+    assert r.median == 10.0
+    assert r.mad == 1.0  # median |x - 10|
+    assert r.n_outliers >= 1  # the 1000.0 point
+    assert r.n_values == 61
+
+
+def test_mad_vs_iqr_robustness(spark):
+    """MAD fences stay tight when a quarter of the data is extreme."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import mad_outliers
+
+    vals = [float(v) for v in range(100)] + [1e6] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = mad_outliers(df, ["x"]).collect()[0]
+    assert r.n_outliers == 10
+    assert r.upper_fence < 1e6
