@@ -1392,6 +1392,8 @@ def _file_balance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_balance(_t(spark, sf_dir, "lineitem"))
 
 
+MIX_QUOTAS = {"en": 40, "de": 15, "fr": 10}
+
 MASK_STRATEGIES = {
     "c_name": "hash",
     "c_mktsegment": "prefix",
@@ -1646,6 +1648,16 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": _scd2_customer,
         "mask_customer": _mask_customer,
         "hourly_value_bands_events": _hourly_value_bands,
+        "interarrival_stats_events": (
+            lambda spark, sf_dir: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival", fromlist=["x"]
+            ).interarrival_stats(_t(spark, sf_dir, "events"))
+        ),
+        "sample_quotas_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.sampling", fromlist=["x"]
+            ).sample_quotas(d, MIX_QUOTAS)
+        ),
         "embedding_drift_halves": _embedding_drift,
         "quality_by_source_documents": _quality_by_source,
         "dedup_resolve_by_quality": _docs_op(
@@ -1989,6 +2001,10 @@ SELECT d.source, COUNT(*) AS n_docs,
 FROM q JOIN documents d ON q.doc_id = d.doc_id
 GROUP BY d.source
 """,
+        "interarrival_stats_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival", fromlist=["x"]
+        ).interarrival_stats_sql("events"),
+        "sample_quotas_documents": OX.sample_quotas_sql(MIX_QUOTAS),
         "mask_customer": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.masking", fromlist=["x"]
         ).mask_columns_sql(

@@ -122,3 +122,33 @@ def sample_per_group(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def sample_quotas(
+    df: DataFrame,
+    quotas: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exact per-group QUOTAS (mixture construction): group g keeps its
+    quotas[g] hash-ranked rows; unlisted groups are dropped. The
+    deterministic generalization of sample_per_group for building
+    fixed-composition training mixtures ("500 en, 200 de, 100 fr").
+
+    Same single window shuffle as sample_per_group; the quota lookup is
+    a literal CASE, no join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    quota: Column = F.lit(0)
+    for value, k in sorted(quotas.items()):
+        quota = F.when(F.col(group_col) == value, F.lit(k)).otherwise(quota)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )

@@ -1138,3 +1138,25 @@ SELECT n_docs, n_distinct_contents, n_dup_docs,
   CAST({rate} AS DOUBLE) AS dup_rate
 FROM agg
 """
+
+
+def sample_quotas_sql(
+    quotas: dict[str, int],
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """Mirror of sampling.sample_quotas."""
+    quota = "0"
+    for value, k in sorted(quotas.items()):
+        quota = f"CASE WHEN {group_col} = '{value}' THEN {k} ELSE {quota} END"
+    return f"""
+SELECT * EXCLUDE (__rk) FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {group_col}
+    ORDER BY {_bucket_sql(id_col, seed)} ASC, {id_col} ASC
+  ) AS __rk
+  FROM {table}
+) WHERE __rk <= ({quota})
+"""

@@ -79,3 +79,13 @@ def test_sample_per_group_small_group(spark):
     )
     got = sample_per_group(df, 10, "lang", "doc_id").collect()
     assert len(got) == 3  # min(k, group size)
+
+
+def test_sample_quotas_exact_mixture(spark, documents):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import sample_quotas
+
+    got = sample_quotas(documents, {"en": 10, "de": 3}).collect()
+    by_lang = {}
+    for r in got:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang == {"en": 10, "de": 3}  # unlisted langs dropped

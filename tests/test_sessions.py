@@ -85,3 +85,21 @@ def test_session_stats_stream_matches_batch(spark, tmp_path):
     # availableNow + 0s watermark every session but the latest finalizes
     assert streamed <= batch
     assert len(streamed) >= len(batch) - 1
+
+
+def test_interarrival_stats(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival import interarrival_stats
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 10), 7),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 40), 7),
+        (4, dt.datetime(2024, 1, 1, 0, 0, 5), 8),
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    r = interarrival_stats(ev).collect()[0]
+    assert r.n_gaps == 2  # user 7 has two gaps; user 8 has none
+    assert (r.min_gap_s, r.max_gap_s) == (10, 30)
+    assert r.mean_gap_s == 20.0
