@@ -163,6 +163,9 @@ def main() -> None:
         "quality_by_source_documents",
         "unigram_surprisal_documents",
         "dedup_resolve_by_quality",
+        "mad_outliers_lineitem",
+        "interarrival_stats_events",
+        "sample_quotas_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
