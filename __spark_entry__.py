@@ -1648,6 +1648,36 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": _scd2_customer,
         "mask_customer": _mask_customer,
         "hourly_value_bands_events": _hourly_value_bands,
+        "association_rules_lineitem": (
+            lambda spark, sf_dir: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.assoc_rules", fromlist=["x"]
+            ).association_rules(
+                _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+                min_support=2, k=30,
+            )
+        ),
+        "impute_events": (
+            lambda spark, sf_dir: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.impute", fromlist=["x"]
+            ).impute(
+                _t(spark, sf_dir, "events").selectExpr(
+                    "event_id",
+                    "NULLIF(event_type, 'click') AS event_type",
+                    "CASE WHEN value < 0.2 THEN NULL ELSE value END AS value",
+                ),
+                {"event_type": "mode", "value": "mean"},
+            )
+        ),
+        "top_paths_events": (
+            lambda spark, sf_dir: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
+            ).top_paths(_t(spark, sf_dir, "events"))
+        ),
+        "blank_stats_documents": _docs_op(
+            lambda d: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.blanks", fromlist=["x"]
+            ).blank_stats(d, ["text", "lang", "source"])
+        ),
         "interarrival_stats_events": (
             lambda spark, sf_dir: __import__(
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival", fromlist=["x"]
@@ -2001,6 +2031,26 @@ SELECT d.source, COUNT(*) AS n_docs,
 FROM q JOIN documents d ON q.doc_id = d.doc_id
 GROUP BY d.source
 """,
+        "association_rules_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.assoc_rules", fromlist=["x"]
+        ).association_rules_sql(
+            "lineitem", "l_orderkey", "l_partkey", min_support=2, k=30
+        ),
+        "impute_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.impute", fromlist=["x"]
+        ).impute_sql(
+            "(SELECT event_id, NULLIF(event_type, 'click') AS event_type,"
+            " CASE WHEN value < 0.2 THEN NULL ELSE value END AS value"
+            " FROM events)",
+            ["event_id", "event_type", "value"],
+            {"event_type": "mode", "value": "mean"},
+        ),
+        "top_paths_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
+        ).top_paths_sql("events"),
+        "blank_stats_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.blanks", fromlist=["x"]
+        ).blank_stats_sql("documents", ["text", "lang", "source"]),
         "interarrival_stats_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival", fromlist=["x"]
         ).interarrival_stats_sql("events"),

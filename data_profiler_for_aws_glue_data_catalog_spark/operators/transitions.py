@@ -101,3 +101,84 @@ SELECT from_state, to_state, n_transitions,
   CAST({ROUND6.format(x=f"CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE)")} AS DOUBLE) AS probability
 FROM counts
 """
+
+
+PATH_COLS = ["path", "n_occurrences"]
+
+
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 20,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common length-``length`` consecutive event-type paths
+    (sliding windows over each entity's ordered stream) — the sequence
+    generalization of the transition matrix.
+
+    Same single entity-keyed window shuffle (length-1 lags resolve in
+    ONE Window spec), then a groupBy over path strings and
+    ``orderBy().limit(k)`` (ties by path text).
+    """
+    if length < 2:
+        raise ValueError("top_paths: length must be >= 2")
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    base = events.where(
+        F.col(entity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    )
+    steps = [F.col(state_col)] + [
+        F.lag(F.col(state_col), i).over(w) for i in range(1, length)
+    ]
+    # steps[i] is the state i positions BACK: reverse for forward order
+    path = F.concat_ws(">", *reversed(steps))
+    paths = base.select(path.alias("path"), steps[-1].alias("_first")).where(
+        F.col("_first").isNotNull()
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+        .select(*PATH_COLS)
+    )
+
+
+def top_paths_sql(
+    table: str,
+    length: int = 3,
+    k: int = 20,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror (same lags, ordering and tie-break)."""
+    over = (
+        f"OVER (PARTITION BY {entity_col} "
+        f"ORDER BY {ts_col} ASC, {id_col} ASC)"
+    )
+    lags = [f"LAG({state_col}, {i}) {over} AS s_{i}" for i in range(1, length)]
+    fwd = [f"s_{i}" for i in range(length - 1, 0, -1)] + [state_col]
+    return f"""
+WITH lagged AS (
+  SELECT {state_col}, {', '.join(lags)}
+  FROM {table}
+  WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {state_col} IS NOT NULL
+),
+paths AS (
+  SELECT concat_ws('>', {', '.join(fwd)}) AS path
+  FROM lagged WHERE s_{length - 1} IS NOT NULL
+)
+SELECT path, COUNT(*) AS n_occurrences
+FROM paths GROUP BY path
+ORDER BY n_occurrences DESC, path ASC
+LIMIT {k}
+"""
