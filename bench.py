@@ -166,6 +166,10 @@ def main() -> None:
         "mad_outliers_lineitem",
         "interarrival_stats_events",
         "sample_quotas_documents",
+        "association_rules_lineitem",
+        "impute_events",
+        "top_paths_events",
+        "blank_stats_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
