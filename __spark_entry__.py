@@ -1648,6 +1648,16 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": _scd2_customer,
         "mask_customer": _mask_customer,
         "hourly_value_bands_events": _hourly_value_bands,
+        "rank_normalize_events": (
+            lambda spark, sf_dir: __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.rank_normalize", fromlist=["x"]
+            ).rank_normalize(
+                _t(spark, sf_dir, "events").select(
+                    "event_id", "event_type", "value"
+                ),
+                "event_type", "value", "event_id",
+            )
+        ),
         "association_rules_lineitem": (
             lambda spark, sf_dir: __import__(
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.assoc_rules", fromlist=["x"]
@@ -2031,6 +2041,12 @@ SELECT d.source, COUNT(*) AS n_docs,
 FROM q JOIN documents d ON q.doc_id = d.doc_id
 GROUP BY d.source
 """,
+        "rank_normalize_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.rank_normalize", fromlist=["x"]
+        ).rank_normalize_sql(
+            "events", "event_type", "value", "event_id",
+            ["event_id", "event_type", "value"],
+        ),
         "association_rules_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.assoc_rules", fromlist=["x"]
         ).association_rules_sql(

@@ -60,3 +60,14 @@ def test_blank_stats(spark):
     r = blank_stats(df, ["s"]).collect()[0]
     assert (r.n_rows, r.n_null, r.n_blank, r.n_padded) == (5, 1, 2, 2)
     assert r.effective_completeness == 0.4  # 'x' and ' y'
+
+
+def test_rank_normalize(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.rank_normalize import rank_normalize
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    got = {r.id: r.v_pct for r in rank_normalize(df, "g", "v", "id").collect()}
+    assert got[1] == 0.0 and got[3] == 1.0
+    assert got[2] == 0.5
+    assert got[4] == 0.0  # singleton group: rank 0 of 0 -> 0
