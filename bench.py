@@ -170,6 +170,7 @@ def main() -> None:
         "impute_events",
         "top_paths_events",
         "blank_stats_documents",
+        "rank_normalize_events",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
