@@ -646,6 +646,19 @@ def _rollup_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cube_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key CUBE profile: all four grouping levels in one Expand pass."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import cube_profile
+
+    m = cube_profile(_t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey")
+    return m.withColumn(
+        "value",
+        F.when(
+            F.col("name").isin(*ROUNDED_METRICS), F.round(F.col("value"), 6)
+        ).otherwise(F.col("value")),
+    )
+
+
 def _profile_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented profile: the fused metric set per c_mktsegment value."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import grouped_profile
@@ -867,6 +880,20 @@ def _table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _diff_frames(spark, sf_dir)
     return table_diff(old, new, DIFF_KEYS, DIFF_COMPARE)
+
+
+def _schema_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution report: orders vs an evolved shape (one column
+    dropped, one added, one type-widened) — metadata-only, no scan."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff import schema_diff
+
+    old = _t(spark, sf_dir, "orders")
+    new = (
+        old.drop("o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .withColumn("o_comment", F.lit("x"))
+    )
+    return schema_diff(old, new)
 
 
 def _diff_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,6 +1402,18 @@ def _jsd_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ks_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift on events.value, first half vs second half."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.divergence import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+
 def _missing_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap detection over a derived table with real holes (every 5th day
     of month removed — the oracle removes the same days)."""
@@ -1531,6 +1570,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
         "ann_lsh_topk": _embs_op(lambda e: S.lsh_topk(e, ANN_QUERY_IDS)),
+        "knn_join_embeddings": _embs_op(S.knn_join),
         "kmeans_step": _kmeans_step,
         "kmeans_train": _kmeans_train,
         "stream_dedup_exact": _stream_dedup_exact,
@@ -1563,6 +1603,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_profile_events": _json_profile_events,
         "rolling_stats_events": _rolling_stats_events,
         "table_diff_orders": _table_diff_orders,
+        "schema_diff_orders": _schema_diff_orders,
         "diff_summary_orders": _diff_summary_orders,
         "contamination_documents": _contamination_documents,
         "project_embeddings": _project_embeddings,
@@ -1575,6 +1616,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_events": _trending_events,
         "profile_customer_by_segment": _profile_customer_by_segment,
         "rollup_profile_customer": _rollup_profile_customer,
+        "cube_profile_customer": _cube_profile_customer,
         "profile_drift_orders": _profile_drift_orders,
         "ref_integrity_tpch": _ref_integrity_report,
         "fd_strength_orders": _fd_orders,
@@ -1723,6 +1765,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).unigram_surprisal(d)
         ),
         "jsd_events_halves": _jsd_events_halves,
+        "ks_events_halves": _ks_events_halves,
         "missing_days_events": _missing_days_events,
         # rows-only by design: file identity has no DuckDB analog
         "file_balance_lineitem": _file_balance_lineitem,
@@ -1772,6 +1815,7 @@ def _extension_oracles() -> dict[str, str]:
         ),
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
+        "knn_join_embeddings": OX.knn_join_sql(),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),
         "kmeans_train": OX.kmeans_train_sql(n_iters=2),
@@ -1833,6 +1877,17 @@ def _extension_oracles() -> dict[str, str]:
         "rolling_stats_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.rolling", fromlist=["x"]
         ).rolling_stats_sql("events"),
+        "schema_diff_orders": """
+SELECT * FROM (VALUES
+  ('o_comment',      CAST(NULL AS VARCHAR), 'string',    'added'),
+  ('o_custkey',      'bigint',    'bigint',    'unchanged'),
+  ('o_orderdate',    'timestamp', 'timestamp', 'unchanged'),
+  ('o_orderkey',     'bigint',    'bigint',    'unchanged'),
+  ('o_orderpriority','string',    CAST(NULL AS VARCHAR), 'removed'),
+  ('o_orderstatus',  'string',    'string',    'unchanged'),
+  ('o_totalprice',   'double',    'string',    'type_changed')
+) AS t("column", old_type, new_type, change)
+""",
         "table_diff_orders": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff", fromlist=["x"]
         ).table_diff_sql(_DIFF_OLD_SQL, _DIFF_NEW_SQL, DIFF_KEYS, DIFF_COMPARE),
@@ -1878,6 +1933,9 @@ def _extension_oracles() -> dict[str, str]:
         ).mutual_information_sql("lineitem", MI_PAIRS),
         "profile_customer_by_segment": O.grouped_profile_sql(
             "customer", "c_mktsegment"
+        ),
+        "cube_profile_customer": O.cube_profile_sql(
+            "customer", "c_mktsegment", "c_nationkey"
         ),
         "rollup_profile_customer": O.rollup_profile_sql(
             "customer", "c_mktsegment"
@@ -2087,6 +2145,13 @@ GROUP BY d.source
             ["value"],
             [0.5, 0.9, 0.99],
         ),
+        "ks_events_halves": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.divergence", fromlist=["x"]
+        ).ks_statistic_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT * FROM events WHERE event_id % 2 = 1",
+            "value",
+        ),
         "jsd_events_halves": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.divergence", fromlist=["x"]
         ).js_divergence_sql(
@@ -2173,7 +2238,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_lineitem_observed"] = _profile_lineitem_observed
     q["profile_lineitem_incremental"] = _profile_lineitem_incremental
     q.update(_extension_queries())
+    q.update(_tpch_queries())
     return q
+
+
+def _tpch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """TPC-H-adapted relational suite (operators/tpch.py): join-strategy
+    coverage — broadcast star joins, semi/anti joins, aggregate-then-join
+    decorrelation, disjunctive predicates, outer-join histograms."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import tpch as T
+
+    def op(fn, *tables):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(*[_t(spark, sf_dir, t) for t in tables])
+
+        return q
+
+    return {
+        "q3_shipping_priority": op(T.q3_shipping_priority, "customer", "orders", "lineitem"),
+        "q4_order_priority": op(T.q4_order_priority, "orders", "lineitem"),
+        "q5_local_supplier_volume": op(
+            T.q5_local_supplier_volume,
+            "customer", "orders", "lineitem", "supplier", "nation", "region",
+        ),
+        "q6_forecast_revenue": op(T.q6_forecast_revenue, "lineitem"),
+        "q7_volume_shipping": op(
+            T.q7_volume_shipping, "supplier", "lineitem", "orders", "customer", "nation"
+        ),
+        "q10_returned_items": op(
+            T.q10_returned_items, "customer", "orders", "lineitem", "nation"
+        ),
+        "q13_customer_distribution": op(T.q13_customer_distribution, "customer", "orders"),
+        "q14_promo_revenue": op(T.q14_promo_revenue, "lineitem", "part"),
+        "q15_top_supplier": op(T.q15_top_supplier, "supplier", "lineitem"),
+        "q18_large_orders": op(T.q18_large_orders, "customer", "orders", "lineitem"),
+        "q19_disjunctive_revenue": op(T.q19_disjunctive_revenue, "lineitem", "part"),
+        "q21_suppliers_who_kept_waiting": op(
+            T.q21_suppliers_who_kept_waiting, "supplier", "lineitem", "orders"
+        ),
+        "q22_global_sales_opportunity": op(
+            T.q22_global_sales_opportunity, "customer", "orders"
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2234,4 +2340,7 @@ GROUP BY n_name ORDER BY n_name
     o["profile_lineitem_observed"] = O.observed_profile_sql("lineitem")
     o["profile_lineitem_incremental"] = O.profile_table_sql("lineitem", expensive=True)
     o.update(_extension_oracles())
+    from data_profiler_for_aws_glue_data_catalog_spark.operators import tpch as _T
+
+    o.update(_T.oracle_sql())
     return o

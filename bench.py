@@ -171,6 +171,23 @@ def main() -> None:
         "top_paths_events",
         "blank_stats_documents",
         "rank_normalize_events",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q21_suppliers_who_kept_waiting",
+        "q22_global_sales_opportunity",
+        "ks_events_halves",
+        "cube_profile_customer",
+        "schema_diff_orders",
+        "knn_join_embeddings",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

@@ -106,3 +106,106 @@ SELECT '{col}' AS "column", n_left, n_right, n_categories,
   CAST({ROUND6.format(x='CAST(jsd_dec AS DOUBLE)')} AS DOUBLE) AS jsd
 FROM agg
 """
+
+
+# ------------------------------------------------- Kolmogorov–Smirnov
+
+KS_COLS = ["column", "n_left", "n_right", "ks", "ks_at"]
+
+
+def ks_statistic(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic for a numeric column:
+    ``max_x |F_left(x) - F_right(x)|`` over the empirical CDFs, plus the
+    smallest value attaining it (deterministic tie-break).
+
+    Plan shape: each side collapses to value frequencies (one
+    combine-friendly shuffle each), the two frequency relations
+    full-outer-join on the value, and one cumulative window ordered by
+    value turns counts into CDFs.  The window runs over the DISTINCT-value
+    relation, not the data — fine for discrete/moderate-cardinality
+    columns.  For continuous doubles at 100 TB the distinct relation is
+    data-sized and a single-partition window would bottleneck: pre-bucket
+    with `F.round(col, d)` / psi.py binning first (the statistic then
+    lower-bounds true KS by at most the bucket mass).
+
+    Determinism: CDF fractions are integer/integer double divisions —
+    bit-identical across engines, so the max and argmin tie-break
+    hash-match the DuckDB oracle exactly.
+    """
+    from pyspark.sql import Window
+
+    lf = (
+        left.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cl"))
+    )
+    rf = (
+        right.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    f = lf.join(rf, on="v", how="full_outer").select(
+        "v",
+        F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
+        F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = f.select(
+        "v",
+        F.sum("cl").over(w).alias("cuml"),
+        F.sum("cr").over(w).alias("cumr"),
+    )
+    tot = f.agg(F.sum("cl").alias("nl"), F.sum("cr").alias("nr"))
+    d = cdf.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "nl",
+        "nr",
+        F.abs(
+            F.col("cuml").cast("double") / F.col("nl").cast("double")
+            - F.col("cumr").cast("double") / F.col("nr").cast("double")
+        ).alias("d"),
+    )
+    return d.agg(
+        F.lit(col).alias("column"),
+        F.max("nl").alias("n_left"),
+        F.max("nr").alias("n_right"),
+        F.max("d").alias("ks"),
+        F.min_by("v", F.struct(F.negate(F.col("d")), F.col("v"))).alias("ks_at"),
+    )
+
+
+def ks_statistic_sql(left_sql: str, right_sql: str, col: str) -> str:
+    """DuckDB mirror of :func:`ks_statistic` (same CDF windows)."""
+    return f"""
+WITH lf AS (
+  SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS cl
+  FROM ({left_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+),
+rf AS (
+  SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS cr
+  FROM ({right_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+),
+f AS (
+  SELECT v, COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr
+  FROM lf FULL OUTER JOIN rf USING (v)
+),
+cdf AS (
+  SELECT v,
+    SUM(cl) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuml,
+    SUM(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumr
+  FROM f
+),
+tot AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM f),
+d AS (
+  SELECT v, nl, nr,
+    ABS(CAST(cuml AS DOUBLE) / CAST(nl AS DOUBLE)
+      - CAST(cumr AS DOUBLE) / CAST(nr AS DOUBLE)) AS d
+  FROM cdf CROSS JOIN tot
+)
+SELECT '{col}' AS "column", MAX(nl) AS n_left, MAX(nr) AS n_right,
+  MAX(d) AS ks,
+  (SELECT v FROM d ORDER BY d DESC, v ASC LIMIT 1) AS ks_at
+FROM d
+"""

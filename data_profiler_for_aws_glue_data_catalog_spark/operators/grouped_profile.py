@@ -92,3 +92,46 @@ def rollup_profile(
         .select("group_value", "kv.*")
         .select(*GROUPED_COLS)
     )
+
+
+CUBE_COLS = ["group_a", "group_b", *METRIC_COLS]
+
+
+def cube_profile(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    config: ProfilerConfig | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Two-key CUBE profile: every metric at all four grouping levels —
+    (a,b), (a), (b), () — in ONE pass.
+
+    ``df.cube`` plans GROUPING SETS through a single Expand over one
+    scan (4x the aggregate input rows, still one shuffle); grouped-out
+    levels are labeled ``<all>``, with ``grouping()`` distinguishing
+    them from genuine NULL keys. Shuffle bytes ~ 4 x segments x columns
+    x metrics — independent of row count, so the shape holds at 100 TB.
+    """
+    config = config or ProfilerConfig()
+    # build metric exprs over every profiled column except both keys
+    exprs, structs = _windowed_aggs(df.drop(col_b), col_a, config, approx_distinct)
+    with_g = df.withColumn("_ga", F.col(col_a).cast("string")).withColumn(
+        "_gb", F.col(col_b).cast("string")
+    )
+    grouped = with_g.cube("_ga", "_gb").agg(
+        F.expr("grouping(_ga)").alias("_la"),
+        F.expr("grouping(_gb)").alias("_lb"),
+        *exprs,
+    )
+    ga = F.when(F.col("_la") == 1, F.lit("<all>")).otherwise(F.col("_ga"))
+    gb = F.when(F.col("_lb") == 1, F.lit("<all>")).otherwise(F.col("_gb"))
+    return (
+        grouped.select(
+            ga.alias("group_a"),
+            gb.alias("group_b"),
+            F.explode(F.array(*structs)).alias("kv"),
+        )
+        .select("group_a", "group_b", "kv.*")
+        .select(*CUBE_COLS)
+    )

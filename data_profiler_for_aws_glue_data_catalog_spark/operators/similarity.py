@@ -311,3 +311,51 @@ def ivf_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def knn_join(
+    embs: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Self-KNN join: approximate top-k cosine neighbors for EVERY vector
+    (batch k-NN graph construction — dedup clustering, diversity
+    sampling, embedding-quality audits all start here).
+
+    Same IVF machinery as :func:`ivf_topk`, but the probe side is the
+    whole relation, so the candidate join is a plain shuffle equi-join on
+    the cell key — both sides data-sized, hash-partitioned, map-side
+    combinable; nothing is broadcast. Candidate pairs per vector ~
+    (n_probe/n_cells) x |vectors| — the quantizer bounds the blowup, vs
+    the O(n^2) a brute-force self-join would plan.
+
+    Scale notes (100 TB): hot cells (an uneven quantizer) skew the cell
+    join — AQE's skew-join split handles moderate imbalance; retrain
+    centroids (kmeans.py) or subdivide hot cells (IVF-HNSW style) when a
+    cell exceeds executor memory. Output: (query_id, neighbor_id,
+    cosine, rank 1..k) for every query_id.
+    """
+    e = _normed(embs, vec_col, id_col)
+    cents = collect_centroids(e, n_cells)
+    assigned = assign_cells(e, cents)
+    q = e.select(
+        F.col("id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    probes = probe_cells(q, cents, n_probe)
+    scored = (
+        assigned.join(probes, on="cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -126,3 +126,34 @@ SELECT st.status, COALESCE(c.n, 0) AS n
 FROM st LEFT JOIN (SELECT status, count(*) AS n FROM d GROUP BY status) c
 ON st.status = c.status
 """
+
+
+SCHEMA_DIFF_COLS = ["column", "old_type", "new_type", "change"]
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema evolution report between two frames: one row per column in
+    either schema with (old_type, new_type, change), change in
+    {added, removed, type_changed, unchanged}.
+
+    Pure metadata — no scan of either table is planned; the report is a
+    |columns|-sized local DataFrame (the reference reads schemas the same
+    way, DataProfilerForAWSGlueDataCatalog.scala:267-270, but only logs them). Pair with
+    table_diff (row-level) and profile_diff (metric-level) for the full
+    three-layer drift story.
+    """
+    ot = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    nt = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(ot) | set(nt)):
+        o, n = ot.get(c), nt.get(c)
+        change = (
+            "added" if o is None
+            else "removed" if n is None
+            else "unchanged" if o == n
+            else "type_changed"
+        )
+        rows.append((c, o, n, change))
+    return old.sparkSession.createDataFrame(
+        rows, "`column` string, old_type string, new_type string, change string"
+    )

@@ -467,3 +467,48 @@ UNION ALL
 SELECT '<all>' AS group_value, entity, instance, name, value, type
 FROM ({total})
 """
+
+
+def cube_profile_sql(table: str, col_a: str, col_b: str) -> str:
+    """Oracle for operators.cube_profile: each metric branch runs GROUP BY
+    CUBE(ga, gb) (DuckDB native), grouped-out levels labeled '<all>'."""
+    keys = (
+        "CASE WHEN GROUPING(ga) = 1 THEN '<all>' ELSE ga END AS group_a, "
+        "CASE WHEN GROUPING(gb) = 1 THEN '<all>' ELSE gb END AS group_b"
+    )
+    branches = [
+        _row("Dataset", "*", "Size", "CAST(COUNT(*) AS DOUBLE)", None)
+        + f", {keys} FROM g GROUP BY CUBE (ga, gb)"
+    ]
+
+    def add(entity, instance, name, value_sql, typ):
+        branches.append(
+            _row(entity, instance, name, value_sql, typ)
+            + f", {keys} FROM g GROUP BY CUBE (ga, gb)"
+        )
+
+    for c, kind, typ in TABLE_COLUMNS[table]:
+        if c in (col_a, col_b):
+            continue
+        add("Column", c, "Completeness",
+            f"CAST(COUNT({c}) AS DOUBLE) / COUNT(*)", typ)
+        if kind == NUM:
+            add("Column", c, "Maximum", f"CAST(MAX({c}) AS DOUBLE)", typ)
+            add("Column", c, "Minimum", f"CAST(MIN({c}) AS DOUBLE)", typ)
+            add("Column", c, "Sum", _sum_dec(c), typ)
+            add("Column", c, "Mean", _mean_sql(c), typ)
+            add("Column", c, "StandardDeviation", _stddev_sql(c), typ)
+        else:
+            add("Column", c, "MaxLength",
+                f"CAST(MAX(LENGTH({c})) AS DOUBLE)", typ)
+            add("Column", c, "MinLength",
+                f"CAST(MIN(LENGTH({c})) AS DOUBLE)", typ)
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH g AS (
+  SELECT *, CAST({col_a} AS VARCHAR) AS ga, CAST({col_b} AS VARCHAR) AS gb
+  FROM {table}
+)
+SELECT group_a, group_b, entity, instance, name, value, type
+FROM ({body})
+"""

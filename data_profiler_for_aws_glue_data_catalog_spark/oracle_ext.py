@@ -1160,3 +1160,46 @@ SELECT * EXCLUDE (__rk) FROM (
   FROM {table}
 ) WHERE __rk <= ({quota})
 """
+
+
+def knn_join_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle for similarity.knn_join: ivf_topk_sql with every vector as
+    a query (same centroids, assignment, probes, rank order)."""
+    acos = round6_sql(f"({dot_sql('n.v', 'c.cv')}) / (n.nrm * c.cn)")
+    pcos = round6_sql(f"({dot_sql('q.qv', 'c.cv')}) / (q.qn * c.cn)")
+    scos = round6_sql(f"({dot_sql('p.qv', 'a.v')}) / (p.qn * a.nrm)")
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
+assigned AS (
+  SELECT id, v, nrm, cell FROM (
+    SELECT n.id, n.v, n.nrm, c.cell,
+      row_number() OVER (PARTITION BY n.id ORDER BY {acos} DESC, c.cell ASC) AS rn
+    FROM n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS query_id, v AS qv, nrm AS qn FROM n),
+probes AS (
+  SELECT query_id, cell, qv, qn FROM (
+    SELECT q.query_id, c.cell, q.qv, q.qn,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY {pcos} DESC, c.cell ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id, {scos} AS cosine
+  FROM assigned a JOIN probes p USING (cell) WHERE a.id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

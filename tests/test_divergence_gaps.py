@@ -4,6 +4,7 @@ import datetime as dt
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.operators.divergence import js_divergence
 from data_profiler_for_aws_glue_data_catalog_spark.operators.file_balance import file_balance
@@ -63,3 +64,15 @@ def test_file_balance(spark, tmp_path):
     assert r.n_rows == 100
     assert r.min_rows >= 1
     assert r.balance_ratio >= 1.0
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.divergence import ks_statistic
+
+    a = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    same = ks_statistic(a, a, "x").collect()[0]
+    assert same["ks"] == 0.0
+    b = spark.range(100).select((F.col("id") % 10 + 100).cast("double").alias("x"))
+    disj = ks_statistic(a, b, "x").collect()[0]
+    assert disj["ks"] == 1.0
+    assert disj["n_left"] == 100 and disj["n_right"] == 100

@@ -81,3 +81,19 @@ def test_rollup_profile_single_pass(spark, lineitem):
     )
     assert plan.count("Scan parquet") == 1  # one pass for both levels
     assert "Expand" in plan  # GROUPING SETS shape
+
+
+def test_cube_profile_levels_consistent(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import cube_profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    m = cube_profile(df, "c_mktsegment", "c_nationkey")
+    rows = [r for r in m.collect() if r["name"] == "Size"]
+    total = {(r["group_a"], r["group_b"]): r["value"] for r in rows}
+    n = df.count()
+    assert total[("<all>", "<all>")] == n
+    # each marginal sums to the grand total
+    a_sum = sum(v for (a, b), v in total.items() if a != "<all>" and b == "<all>")
+    b_sum = sum(v for (a, b), v in total.items() if a == "<all>" and b != "<all>")
+    cell_sum = sum(v for (a, b), v in total.items() if a != "<all>" and b != "<all>")
+    assert a_sum == b_sum == cell_sum == n

@@ -160,3 +160,23 @@ def test_lsh_identical_vectors_always_collide(spark):
     vs = _vecs(spark, vecs)
     rows = S.lsh_topk(vs, [20], k=3, n_planes=16, n_bands=4).collect()
     assert rows[0]["neighbor_id"] == 40 and rows[0]["cosine"] == 1.0
+
+
+def test_knn_join_covers_every_vector(embeddings):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import knn_join
+    from tests.test_plans import plan_str
+
+    out = knn_join(embeddings, k=3, n_cells=8, n_probe=2)
+    p = plan_str(out)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    rows = out.collect()
+    n = embeddings.count()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == n  # every vector got neighbors
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert all(r["neighbor_id"] != q for r in rs)

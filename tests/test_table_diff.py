@@ -54,3 +54,14 @@ def test_composite_keys(spark):
         for r in TD.table_diff(old, new, ["a", "b"]).collect()
     }
     assert got == {(1, "x"): "unchanged", (1, "y"): "added"}
+
+
+def test_schema_diff_classes(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.table_diff import schema_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "a", "x")], "k int, v string, w string")
+    out = {r["column"]: r["change"] for r in schema_diff(old, new).collect()}
+    assert out == {
+        "k": "unchanged", "s": "removed", "v": "type_changed", "w": "added"
+    }

@@ -1,0 +1,91 @@
+"""TPC-H-adapted suite: result sanity + physical-plan shape contracts.
+
+Value correctness is proven by the DuckDB oracle gate (all 13 queries
+hash-exact at sf0.01); these tests pin the plan properties that make the
+suite scale — broadcast dims, semi/anti joins instead of pair
+materialization, no nested-loop joins outside the one scalar broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_for_aws_glue_data_catalog_spark.operators import tpch as T
+from tests.test_plans import plan_str
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return {
+        n: spark.read.parquet(f"{SF}/{n}.parquet")
+        for n in ("customer", "orders", "lineitem", "supplier", "nation", "region", "part")
+    }
+
+
+def test_q3_topk_plan_and_order(t):
+    df = T.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    assert "BroadcastHashJoin" in p  # customer dim broadcast
+    rows = df.collect()
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert len(rows) <= 10
+
+
+def test_q4_semi_join_no_pair_blowup(t):
+    df = T.q4_order_priority(t["orders"], t["lineitem"])
+    assert "LeftSemi" in plan_str(df)
+    rows = {r["o_orderpriority"]: r["order_count"] for r in df.collect()}
+    # every matched order counted once regardless of late-line multiplicity
+    n_window = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).count()
+    assert 0 < sum(rows.values()) <= n_window
+
+
+def test_q5_all_dims_broadcast(t):
+    df = T.q5_local_supplier_volume(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"], t["region"]
+    )
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # supplier+nation+region, customer
+
+
+def test_q13_keeps_zero_order_customers(t):
+    df = T.q13_customer_distribution(t["customer"], t["orders"])
+    dist = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert sum(dist.values()) == t["customer"].count()
+
+
+def test_q15_decorrelated_single_aggregate(t):
+    df = T.q15_top_supplier(t["supplier"], t["lineitem"])
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r["total_revenue"] for r in rows}) == 1  # all at the max
+
+
+def test_q19_disjunction_stays_equi_join(t):
+    p = plan_str(T.q19_disjunctive_revenue(t["lineitem"], t["part"]))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q21_sole_late_supplier_invariant(t):
+    df = T.q21_suppliers_who_kept_waiting(t["supplier"], t["lineitem"], t["orders"])
+    rows = df.collect()
+    assert all(r["numwait"] >= 1 for r in rows)
+
+
+def test_q22_anti_join_plan(t):
+    df = T.q22_global_sales_opportunity(t["customer"], t["orders"])
+    p = plan_str(df)
+    assert "LeftAnti" in p
+    total = t["customer"].count()
+    assert 0 < df.agg(F.sum("numcust")).collect()[0][0] < total
