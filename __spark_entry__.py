@@ -735,6 +735,17 @@ def _correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CR.correlation_matrix(_t(spark, sf_dir, "lineitem"), CORR_COLS)
 
 
+SPEARMAN_COLS_LI = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations (listwise-complete fractional ranks ->
+    exact-decimal Pearson of the ranks)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.spearman import spearman_matrix
+
+    return spearman_matrix(_t(spark, sf_dir, "lineitem"), SPEARMAN_COLS_LI)
+
+
 def _violation_samples_oracle() -> str:
     from data_profiler_for_aws_glue_data_catalog_spark.operators import compliance as CP
 
@@ -1414,6 +1425,32 @@ def _ks_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction sink round trip: rewrite events as 4 balanced files,
+    read back, report layout + row count (oracle checks the relation
+    survived: count and value sum are invariant under compaction)."""
+    import tempfile
+
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks.parquet_sink import compact_parquet
+
+    out = tempfile.mkdtemp(prefix="dq_compact_")
+    back = compact_parquet(_t(spark, sf_dir, "events"), out, target_files=4)
+    return back.select(
+        F.input_file_name().alias("_f"), "event_id"
+    ).agg(
+        F.countDistinct("_f").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_id").cast("decimal(27,0)")).cast("double").alias("id_sum"),
+    )
+
+
+def _changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM mean-shift profile over the value stream."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
+
+    return mean_shift(_t(spark, sf_dir, "events"), "ts", "value", "event_type", "event_id")
+
+
 def _missing_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap detection over a derived table with real holes (every 5th day
     of month removed — the oracle removes the same days)."""
@@ -1590,6 +1627,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_changes": _metric_changes,
         "numeric_histogram_lineitem": _numeric_histogram_lineitem,
         "correlation_lineitem": _correlation_lineitem,
+        "spearman_lineitem": _spearman_lineitem,
         "compliance_orders": _compliance_orders,
         "violation_samples_orders": _violation_samples_orders,
         "mutual_info_lineitem": _mutual_info_lineitem,
@@ -1766,6 +1804,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "jsd_events_halves": _jsd_events_halves,
         "ks_events_halves": _ks_events_halves,
+        "changepoint_events": _changepoint_events,
+        "compact_events": _compact_events,
         "missing_days_events": _missing_days_events,
         # rows-only by design: file identity has no DuckDB analog
         "file_balance_lineitem": _file_balance_lineitem,
@@ -1846,6 +1886,9 @@ def _extension_oracles() -> dict[str, str]:
             "lineitem", NUMERIC_HIST_COLS
         ),
         "correlation_lineitem": CR.correlation_sql("lineitem", CORR_COLS),
+        "spearman_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.spearman", fromlist=["x"]
+        ).spearman_sql("lineitem", SPEARMAN_COLS_LI),
         "compliance_orders": _compliance_oracle(),
         "violation_samples_orders": _violation_samples_oracle(),
         "vector_dim_stats": __import__(
@@ -2145,6 +2188,14 @@ GROUP BY d.source
             ["value"],
             [0.5, 0.9, 0.99],
         ),
+        "compact_events": """
+SELECT 4 AS n_files, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
+FROM events
+""",
+        "changepoint_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint", fromlist=["x"]
+        ).mean_shift_sql("events", "ts", "value", "event_type", "event_id"),
         "ks_events_halves": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.divergence", fromlist=["x"]
         ).ks_statistic_sql(

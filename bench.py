@@ -188,6 +188,9 @@ def main() -> None:
         "cube_profile_customer",
         "schema_diff_orders",
         "knn_join_embeddings",
+        "spearman_lineitem",
+        "changepoint_events",
+        "compact_events",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

@@ -103,3 +103,35 @@ def read_metrics_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option(
         "basePath", path
     ).parquet(path)
+
+
+def compact_parquet(
+    df: DataFrame,
+    out_path: str,
+    target_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """Small-file compaction: rewrite a relation as ``target_files``
+    parquet files and return the read-back relation.
+
+    The operational complement of operators/file_balance.py's diagnosis —
+    the reference's ``coalesce(1)`` (DataProfilerForAWSGlueDataCatalog.scala:248) is this with
+    target_files=1, sensible only for tiny metrics output. For data
+    tables pass ``input_bytes`` (e.g. summed file sizes from the source
+    listing) and the file count becomes ceil(bytes / target_file_bytes),
+    the standard 128 MB-object compaction policy.
+
+    ``repartition(n)`` is a round-robin exchange: output files are
+    size-balanced regardless of input skew (contrast coalesce(n), which
+    only glues existing partitions and inherits their imbalance — but
+    avoids the shuffle; use coalesce when inputs are already balanced).
+    At 100 TB this runs per partition-of-a-table (e.g. per day), not
+    globally — the shuffle is bounded by the partition size.
+    """
+    if target_files is None:
+        if input_bytes is None:
+            raise ValueError("compact_parquet: pass target_files or input_bytes")
+        target_files = max(1, -(-input_bytes // target_file_bytes))
+    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+    return df.sparkSession.read.parquet(out_path)

@@ -102,3 +102,34 @@ def test_detect_changes_strategies(spark):
     assert not got["c"].abs_anomaly and not got["c"].rel_anomaly
     assert got["d"].rel_rate is None and not got["d"].rel_anomaly
     assert got["d"].abs_anomaly  # +50 over the abs bound
+
+
+def test_changepoint_finds_injected_shift(spark):
+    """A level shift at position 60/100 must be the argmax of |CUSUM|
+    (within a small window; CUSUM peaks AT the change)."""
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), "k", 10.0 if i < 60 else 20.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    r = mean_shift(df, "ts", "value", "event_type", "event_id").collect()[0]
+    assert r["n"] == 100
+    assert abs(r["shift_pos"] - 60) <= 1
+    assert r["max_abs_cusum"] > 0
+
+
+def test_changepoint_constant_series_is_flat(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), "k", 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    r = mean_shift(df, "ts", "value", "event_type", "event_id").collect()[0]
+    assert r["max_abs_cusum"] == 0.0

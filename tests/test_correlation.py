@@ -60,3 +60,28 @@ def test_matches_spark_builtin(spark):
     got = _corr_map(correlation_matrix(df, ["a", "b"]))[("a", "b")]["corr"]
     ref = df.select(F.corr("a", "b")).first()[0]
     assert abs(got - ref) < 1e-6
+
+
+def test_spearman_monotone_and_inverse(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.spearman import spearman_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * i), float(-i), 1.0) for i in range(1, 50)],
+        "x double, y double, z double, c double",
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in spearman_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0   # monotone nonlinear -> rank corr 1
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+
+
+def test_spearman_ties_average_ranks(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.spearman import spearman_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0)], "a double, b double"
+    )
+    r = spearman_matrix(df, ["a", "b"]).collect()[0]
+    assert r["n_pairs"] == 4
+    assert 0.8 < r["corr"] <= 1.0  # ties dilute but keep strong monotone

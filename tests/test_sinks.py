@@ -264,3 +264,39 @@ def test_glue_update_contract():
         "comment": "user note",
         "DQP__Completeness": "1.0",
     }
+
+
+def test_compact_parquet_balances_files(spark, tmp_path):
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks.parquet_sink import compact_parquet
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "compacted")
+    back = compact_parquet(df, out, target_files=4)
+    files = [
+        r["_f"]
+        for r in back.select(F.input_file_name().alias("_f")).distinct().collect()
+    ]
+    assert len(files) == 4
+    assert back.count() == 10000
+    per_file = (
+        back.select(F.input_file_name().alias("_f"))
+        .groupBy("_f").count().collect()
+    )
+    counts = [r["count"] for r in per_file]
+    # round-robin is near-even (each input partition deals independently,
+    # so exact +-1 balance isn't guaranteed) — no file may dominate
+    assert max(counts) < 2 * min(counts)
+
+
+def test_compact_parquet_bytes_policy(spark, tmp_path):
+    from data_profiler_for_aws_glue_data_catalog_spark.sinks.parquet_sink import compact_parquet
+
+    df = spark.range(100)
+    back = compact_parquet(
+        df, str(tmp_path / "c2"), input_bytes=300 * 1024 * 1024,
+        target_file_bytes=128 * 1024 * 1024,
+    )  # ceil(300/128) = 3 files
+    from pyspark.sql import functions as F
+    n = back.select(F.input_file_name()).distinct().count()
+    assert n == 3
