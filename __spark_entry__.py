@@ -1425,6 +1425,21 @@ def _ks_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank of event types over the user-journey transition
+    graph (10 unrolled iterations, per-iteration materialization)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.pagerank import pagerank
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.transitions import transition_matrix
+
+    tm = transition_matrix(_t(spark, sf_dir, "events"))
+    edges = tm.select(
+        F.col("from_state").alias("src"),
+        F.col("to_state").alias("dst"),
+        F.col("n_transitions").cast("double").alias("weight"),
+    )
+    return pagerank(edges)
+
+
 def _compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction sink round trip: rewrite events as 4 balanced files,
     read back, report layout + row count (oracle checks the relation
@@ -1806,6 +1821,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
         "compact_events": _compact_events,
+        "pagerank_event_graph": _pagerank_event_graph,
         "missing_days_events": _missing_days_events,
         # rows-only by design: file identity has no DuckDB analog
         "file_balance_lineitem": _file_balance_lineitem,
@@ -2187,6 +2203,16 @@ GROUP BY d.source
             "hour",
             ["value"],
             [0.5, 0.9, 0.99],
+        ),
+        "pagerank_event_graph": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.pagerank", fromlist=["x"]
+        ).pagerank_sql(
+            "SELECT from_state AS src, to_state AS dst,"
+            " CAST(n_transitions AS DOUBLE) AS weight FROM ("
+            + __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
+            ).transition_matrix_sql("events")
+            + ")"
         ),
         "compact_events": """
 SELECT 4 AS n_files, COUNT(*) AS n_rows,

@@ -191,6 +191,7 @@ def main() -> None:
         "spearman_lineitem",
         "changepoint_events",
         "compact_events",
+        "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

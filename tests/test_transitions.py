@@ -51,3 +51,32 @@ def test_probabilities_sum_to_one_per_from(spark, spark_events=None):
         by_from.setdefault(r.from_state, 0.0)
         by_from[r.from_state] += r.probability
     assert all(abs(v - 1.0) < 1e-5 for v in by_from.values())
+
+
+def test_pagerank_tiny_graph_invariants(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+         ("a", "c", 1.0), ("d", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    rows = pagerank(edges, iterations=10).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert set(ranks) == {"a", "b", "c", "d"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+    assert all(v > 0 for v in ranks.values())
+    # d has no in-edges: floor rank; a is the hub: top rank
+    assert ranks["d"] == min(ranks.values())
+    assert ranks["a"] == max(ranks.values())
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.pagerank import pagerank
+
+    # b is dangling (no out-edges): its mass must recycle, sum stays 1
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, weight double"
+    )
+    rows = pagerank(edges, iterations=5).collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
