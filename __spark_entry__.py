@@ -448,6 +448,25 @@ def _session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+def _stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (clicks x views within 6h per user),
+    run availableNow — output rows are deterministic (inner join), so the
+    full relation is oracle-checked against the batch interval join."""
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.enrichment import join_streams_interval
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"), "user_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"), "user_id"
+    )
+    out = join_streams_interval(
+        clicks, views, "user_id", "c_ts", "v_ts", window="360 minutes"
+    )
+    return _run_to_table(out, spark).select("click_id", "view_id", "user_id")
+
+
 def _asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click joined to the user's most recent preceding view."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.asof import asof_join
@@ -1630,6 +1649,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "session_stats_events": _session_stats_events,
         "asof_click_view": _asof_events,
+        "stream_stream_join_events": _stream_stream_join_events,
         "interval_join_sessions": _interval_join_events,
         **_sampling_queries(),
         "chunk_documents": _chunk_documents,
@@ -2204,6 +2224,13 @@ GROUP BY d.source
             ["value"],
             [0.5, 0.9, 0.99],
         ),
+        "stream_stream_join_events": """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 360 MINUTE
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+""",
         "pagerank_event_graph": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.pagerank", fromlist=["x"]
         ).pagerank_sql(

@@ -192,6 +192,7 @@ def main() -> None:
         "changepoint_events",
         "compact_events",
         "pagerank_event_graph",
+        "stream_stream_join_events",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

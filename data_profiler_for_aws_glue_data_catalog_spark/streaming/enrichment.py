@@ -71,3 +71,45 @@ def upsert_writer(spark: SparkSession, target_dir: str, key_cols: list[str]):
         merged.coalesce(1).write.mode("overwrite").parquet(target_dir)
 
     return _upsert
+
+
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window: str = "5 minutes",
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM inner join: right-side rows within
+    ``[left_ts, left_ts + window]`` for the same key (click->conversion
+    attribution, request->response pairing).
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions — the two requirements Structured Streaming
+    imposes so it can expire buffered state: each side holds only rows
+    younger than watermark + window, giving bounded state at any input
+    rate (the unbounded-state stream join is rejected by Spark at
+    analysis time). Output appears once the watermark passes the join
+    window — the throughput/latency trade every stream-stream join makes.
+
+    ``left_ts``/``right_ts`` must be distinct names (rename upstream);
+    the key column is emitted once. At 100 TB the join state is
+    hash-partitioned by key like any equi-join — hot keys shard across
+    time via the interval bound.
+    """
+    l = left.withWatermark(left_ts, max_delay).alias("l")
+    r = right.withWatermark(right_ts, max_delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    right_cols = [c for c in right.columns if c != key]
+    return l.join(r, cond, "inner").select(
+        "l.*", *[F.col(f"r.{c}") for c in right_cols]
+    )

@@ -70,3 +70,48 @@ def test_upsert_with_streaming_aggregate(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.window_start.hour: r.n_events for r in spark.read.parquet(target).collect()}
     assert got == {10: 2, 11: 1}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The streaming interval join (availableNow over a file source) must
+    produce exactly the rows the equivalent BATCH interval join produces."""
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.enrichment import join_streams_interval
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    clicks = [(i, t0 + dt.timedelta(minutes=2 * i), i % 3) for i in range(10)]
+    convs = [
+        (100 + i, t0 + dt.timedelta(minutes=2 * i + j), i % 3)
+        for i in range(10)
+        for j in (1, 7)  # one inside the 5-min window, one outside
+    ]
+    cdf = spark.createDataFrame(clicks, "click_id long, c_ts timestamp, user_id long")
+    vdf = spark.createDataFrame(convs, "conv_id long, v_ts timestamp, user_id long")
+    cdir, vdir = str(tmp_path / "clicks"), str(tmp_path / "convs")
+    cdf.write.parquet(cdir)
+    vdf.write.parquet(vdir)
+    cs = spark.readStream.schema(cdf.schema).parquet(cdir)
+    vs = spark.readStream.schema(vdf.schema).parquet(vdir)
+
+    out = join_streams_interval(cs, vs, "user_id", "c_ts", "v_ts")
+    q = (
+        out.writeStream.format("memory").queryName("ssj_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["conv_id"])
+        for r in spark.table("ssj_t").collect()
+    }
+
+    from pyspark.sql import functions as F
+    batch = cdf.join(
+        vdf,
+        (cdf.user_id == vdf.user_id)
+        & (vdf.v_ts >= cdf.c_ts)
+        & (vdf.v_ts <= cdf.c_ts + F.expr("INTERVAL 5 minutes")),
+    )
+    want = {(r["click_id"], r["conv_id"]) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
