@@ -1478,6 +1478,27 @@ def _compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample of the value stream per event type."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.resample import resample_ohlc
+
+    return resample_ohlc(
+        _t(spark, sf_dir, "events"), "ts", "value", "event_type", "event_id"
+    )
+
+
+def _fill_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified daily series over a gappy derivation (every 5th
+    day-of-month removed), forward-filled per event type."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.resample import fill_time_gaps, resample_ohlc
+
+    ev = _t(spark, sf_dir, "events").where(F.dayofmonth("ts") % 5 != 0)
+    daily = resample_ohlc(ev, "ts", "value", "event_type", "event_id", "1 day")
+    return fill_time_gaps(
+        daily, value_col="vsum", bucket_seconds=86400
+    )
+
+
 def _changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM mean-shift profile over the value stream."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
@@ -1840,6 +1861,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_events_halves": _jsd_events_halves,
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
+        "ohlc_events": _ohlc_events,
+        "fill_gaps_events": _fill_gaps_events,
         "compact_events": _compact_events,
         "pagerank_event_graph": _pagerank_event_graph,
         "missing_days_events": _missing_days_events,
@@ -2246,6 +2269,21 @@ SELECT 4 AS n_files, COUNT(*) AS n_rows,
   CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
 FROM events
 """,
+        "ohlc_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.resample", fromlist=["x"]
+        ).resample_ohlc_sql("events", "ts", "value", "event_type", "event_id"),
+        "fill_gaps_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.resample", fromlist=["x"]
+        ).fill_time_gaps_sql(
+            __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.resample", fromlist=["x"]
+            ).resample_ohlc_sql(
+                "(SELECT * FROM events WHERE"
+                " EXTRACT(day FROM ts) % 5 <> 0) _gappy",
+                "ts", "value", "event_type", "event_id", 86400,
+            ),
+            value_col="vsum", bucket_seconds=86400,
+        ),
         "changepoint_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint", fromlist=["x"]
         ).mean_shift_sql("events", "ts", "value", "event_type", "event_id"),

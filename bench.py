@@ -193,6 +193,8 @@ def main() -> None:
         "compact_events",
         "pagerank_event_graph",
         "stream_stream_join_events",
+        "ohlc_events",
+        "fill_gaps_events",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
