@@ -1499,6 +1499,31 @@ def _fill_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage report: exact-content overlap across the hash
+    split (the synthetic corpus carries real duplicates)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep import split_leakage
+
+    return split_leakage(_t(spark, sf_dir, "documents"))
+
+
+def _woe_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV of the lang feature against a long-document label."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep import woe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return woe_encode(d, "lang", F.col("n_chars") > 500)
+
+
+def _best_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump screen: best l_quantity threshold for predicting
+    returned lines."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep import best_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    return best_split(li, "l_quantity", F.col("l_returnflag") == "R")
+
+
 def _changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM mean-shift profile over the value stream."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
@@ -1861,6 +1886,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_events_halves": _jsd_events_halves,
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
+        "split_leakage_documents": _split_leakage_documents,
+        "woe_lang_documents": _woe_lang_documents,
+        "best_split_lineitem": _best_split_lineitem,
         "ohlc_events": _ohlc_events,
         "fill_gaps_events": _fill_gaps_events,
         "compact_events": _compact_events,
@@ -2269,6 +2297,15 @@ SELECT 4 AS n_files, COUNT(*) AS n_rows,
   CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
 FROM events
 """,
+        "split_leakage_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep", fromlist=["x"]
+        ).split_leakage_sql(),
+        "woe_lang_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep", fromlist=["x"]
+        ).woe_encode_sql("documents", "lang", "n_chars > 500"),
+        "best_split_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep", fromlist=["x"]
+        ).best_split_sql("lineitem", "l_quantity", "l_returnflag = 'R'"),
         "ohlc_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.resample", fromlist=["x"]
         ).resample_ohlc_sql("events", "ts", "value", "event_type", "event_id"),

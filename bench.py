@@ -195,6 +195,9 @@ def main() -> None:
         "stream_stream_join_events",
         "ohlc_events",
         "fill_gaps_events",
+        "split_leakage_documents",
+        "woe_lang_documents",
+        "best_split_lineitem",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.
