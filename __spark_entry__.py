@@ -1524,6 +1524,21 @@ def _best_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_split(li, "l_quantity", F.col("l_returnflag") == "R")
 
 
+def _late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: out-of-order arrival profile per type
+    (arrival order = event_id)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival import late_event_stats
+
+    return late_event_stats(_t(spark, sf_dir, "events"), "ts", "event_type", "event_id")
+
+
+def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (k=4 per anchor)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import negative_pairs
+
+    return negative_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM mean-shift profile over the value stream."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
@@ -1886,6 +1901,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_events_halves": _jsd_events_halves,
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
+        "late_events": _late_events,
+        "negative_pairs_documents": _negative_pairs_documents,
         "split_leakage_documents": _split_leakage_documents,
         "woe_lang_documents": _woe_lang_documents,
         "best_split_lineitem": _best_split_lineitem,
@@ -2297,6 +2314,12 @@ SELECT 4 AS n_files, COUNT(*) AS n_rows,
   CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
 FROM events
 """,
+        "late_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival", fromlist=["x"]
+        ).late_event_stats_sql("events", "ts", "event_type", "event_id"),
+        "negative_pairs_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.sampling", fromlist=["x"]
+        ).negative_pairs_sql(),
         "split_leakage_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep", fromlist=["x"]
         ).split_leakage_sql(),

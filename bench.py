@@ -198,6 +198,8 @@ def main() -> None:
         "split_leakage_documents",
         "woe_lang_documents",
         "best_split_lineitem",
+        "late_events",
+        "negative_pairs_documents",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

@@ -93,3 +93,86 @@ SELECT COUNT(gap) AS n_gaps,
   CAST({ROUND6.format(x='quantile_cont(gap, 0.99)')} AS DOUBLE) AS p99_gap_s
 FROM gaps WHERE gap IS NOT NULL
 """
+
+
+LATE_COLS = ["key", "n", "n_late", "late_frac", "max_regression_s"]
+
+
+def late_event_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Out-of-order-arrival profile per key: a row is LATE when its event
+    time is behind the running maximum over arrival order (``id_col`` as
+    the arrival proxy). The watermark-sizing input for every streaming
+    operator in this engine: ``max_regression_s`` is the smallest
+    watermark delay that would have lost zero events.
+
+    One shuffle (partition by key); the running max is a per-key ordered
+    window. late_frac is a fixed-shape double (n_late/n).
+    """
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+    )
+    flagged = base.select(
+        "key",
+        F.max("_ts").over(w).alias("_prevmax"),
+        "_ts",
+    ).select(
+        "key",
+        F.when(F.col("_prevmax") > F.col("_ts"), 1).otherwise(0).alias("_late"),
+        F.when(
+            F.col("_prevmax") > F.col("_ts"),
+            F.unix_timestamp("_prevmax") - F.unix_timestamp("_ts"),
+        ).otherwise(F.lit(0)).alias("_reg"),
+    )
+    return (
+        flagged.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_late").alias("n_late"),
+            (F.sum("_late").cast("double") / F.count(F.lit(1))).alias("late_frac"),
+            F.max("_reg").alias("max_regression_s"),
+        )
+        .select(*LATE_COLS)
+    )
+
+
+def late_event_stats_sql(
+    table: str, ts_col: str, key_col: str, id_col: str
+) -> str:
+    """DuckDB mirror of :func:`late_event_stats`."""
+    return f"""
+WITH base AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, {id_col} AS _id, {ts_col} AS _ts
+  FROM {table} WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+),
+flagged AS (
+  SELECT key,
+    CASE WHEN _prevmax > _ts THEN 1 ELSE 0 END AS _late,
+    CASE WHEN _prevmax > _ts
+         THEN CAST(epoch(_prevmax) AS BIGINT) - CAST(epoch(_ts) AS BIGINT)
+         ELSE 0 END AS _reg
+  FROM (
+    SELECT key, _ts,
+      MAX(_ts) OVER (PARTITION BY key ORDER BY _id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _prevmax
+    FROM base
+  )
+)
+SELECT key, COUNT(*) AS n, SUM(_late) AS n_late,
+  CAST(SUM(_late) AS DOUBLE) / COUNT(*) AS late_frac,
+  MAX(_reg) AS max_regression_s
+FROM flagged GROUP BY key
+"""

@@ -152,3 +152,66 @@ def sample_quotas(
         .where(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+NEG_PAIR_COLS = ["anchor_id", "neg_id", "j"]
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """k deterministic pseudo-random negative ids per anchor (contrastive
+    -training pair generation) — fully map-side candidate construction.
+
+    Requires DENSE ids 0..n-1 (the engine's corpus tables satisfy this;
+    re-index upstream otherwise — targets that hit no real id are
+    dropped by the verify join, so sparse ids degrade recall, never
+    correctness). Target j for anchor i is the Knuth multiplicative hash
+    ``(i * 2654435761 + j * 40503) mod n``, bumped by one (mod n) when
+    it collides with the anchor itself. The verify join on the target id
+    is the only shuffle; output ~ k x n rows.
+    """
+    n = df.select(id_col).count()
+    ids = df.select(F.col(id_col).cast("bigint").alias("anchor_id"))
+    j = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    cand = ids.select("anchor_id", j).select(
+        "anchor_id",
+        "j",
+        F.pmod(
+            F.col("anchor_id") * F.lit(2654435761) + F.col("j") * F.lit(40503),
+            F.lit(n),
+        ).alias("_t"),
+    ).select(
+        "anchor_id",
+        "j",
+        F.when(F.col("_t") == F.col("anchor_id"), F.pmod(F.col("_t") + 1, F.lit(n)))
+        .otherwise(F.col("_t"))
+        .alias("neg_id"),
+    )
+    real = df.select(F.col(id_col).cast("bigint").alias("neg_id"))
+    return cand.join(real, "neg_id", "leftsemi").select(*NEG_PAIR_COLS)
+
+
+def negative_pairs_sql(
+    table: str = "documents", id_col: str = "doc_id", k: int = 4
+) -> str:
+    """DuckDB mirror of :func:`negative_pairs` (same hash, same bump)."""
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n FROM {table}),
+cand AS (
+  SELECT CAST({id_col} AS BIGINT) AS anchor_id, j,
+    ((CAST({id_col} AS BIGINT) * 2654435761 + j * 40503) % (SELECT n FROM n)
+     + (SELECT n FROM n)) % (SELECT n FROM n) AS _t
+  FROM {table} CROSS JOIN (SELECT UNNEST(range(1, {k + 1})) AS j)
+),
+bumped AS (
+  SELECT anchor_id, j,
+    CASE WHEN _t = anchor_id
+         THEN (_t + 1) % (SELECT n FROM n) ELSE _t END AS neg_id
+  FROM cand
+)
+SELECT anchor_id, neg_id, j FROM bumped
+WHERE neg_id IN (SELECT CAST({id_col} AS BIGINT) FROM {table})
+"""

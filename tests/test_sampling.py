@@ -89,3 +89,16 @@ def test_sample_quotas_exact_mixture(spark, documents):
     for r in got:
         by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
     assert by_lang == {"en": 10, "de": 3}  # unlisted langs dropped
+
+
+def test_negative_pairs_properties(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import negative_pairs
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    rows = negative_pairs(df, k=4).collect()
+    assert len(rows) == 400  # dense ids -> every candidate verifies
+    assert all(r["neg_id"] != r["anchor_id"] for r in rows)
+    assert all(0 <= r["neg_id"] < 100 for r in rows)
+    # deterministic: same input -> same pairs
+    again = negative_pairs(df, k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

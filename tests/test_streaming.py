@@ -235,3 +235,22 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     ).collect()[0].n
     assert len(got) == n_distinct
     assert len({r.content_md5 for r in got}) == len(got)
+
+
+def test_late_event_stats_flags_regressions(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival import late_event_stats
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=10), "k"),
+        (2, t0 + dt.timedelta(seconds=20), "k"),
+        (3, t0 + dt.timedelta(seconds=5), "k"),   # 15 s behind the max
+        (4, t0 + dt.timedelta(seconds=30), "k"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = late_event_stats(df, "ts", "event_type", "event_id").collect()[0]
+    assert r["n"] == 4 and r["n_late"] == 1
+    assert r["max_regression_s"] == 15
+    assert abs(r["late_frac"] - 0.25) < 1e-12
