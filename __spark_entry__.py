@@ -1524,6 +1524,16 @@ def _best_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_split(li, "l_quantity", F.col("l_returnflag") == "R")
 
 
+def _sliding_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h window / 1h slide) per-type counts: one Expand,
+    one shuffle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import (
+        sliding_window_counts,
+    )
+
+    return sliding_window_counts(_t(spark, sf_dir, "events"))
+
+
 def _late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-sizing audit: out-of-order arrival profile per type
     (arrival order = event_id)."""
@@ -1694,6 +1704,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": _embs_op(
             lambda e: D.embedding_near_duplicates(e, n_cells=None)
         ),
+        "dedup_eval_lsh": _docs_op(D.dedup_eval),
         "dedup_resolve_clusters": _docs_op(
             lambda d: __import__(
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
@@ -1902,6 +1913,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
         "late_events": _late_events,
+        "sliding_counts_events": _sliding_counts_events,
         "negative_pairs_documents": _negative_pairs_documents,
         "split_leakage_documents": _split_leakage_documents,
         "woe_lang_documents": _woe_lang_documents,
@@ -1960,6 +1972,7 @@ def _extension_oracles() -> dict[str, str]:
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "knn_join_embeddings": OX.knn_join_sql(),
+        "dedup_eval_lsh": OX.dedup_eval_sql(),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),
         "kmeans_train": OX.kmeans_train_sql(n_iters=2),
@@ -2314,6 +2327,9 @@ SELECT 4 AS n_files, COUNT(*) AS n_rows,
   CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
 FROM events
 """,
+        "sliding_counts_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]
+        ).sliding_window_counts_sql(),
         "late_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.interarrival", fromlist=["x"]
         ).late_event_stats_sql("events", "ts", "event_type", "event_id"),

@@ -200,6 +200,7 @@ def main() -> None:
         "best_split_lineitem",
         "late_events",
         "negative_pairs_documents",
+        "sliding_counts_events",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

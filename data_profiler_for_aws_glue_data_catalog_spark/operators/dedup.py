@@ -409,3 +409,48 @@ def dedup_summary(
         "n_docs - n_distinct_contents AS n_redundant",
         f"cast({ROUND6.format(x=rate)} AS double) AS dup_rate",
     ).select(*DEDUP_SUMMARY_COLS)
+
+
+EVAL_COLS = ["n_truth", "n_pred", "tp", "fp", "fn", "precision", "recall"]
+
+
+def dedup_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH pipeline against the exact
+    shingle-Jaccard ground truth — the recall audit run before trusting a
+    banding config on a new corpus (P[candidate] = 1-(1-j^r)^b predicts
+    it; this measures it).
+
+    Both pair relations are tiny relative to the corpus; the eval is a
+    full-outer join on the (doc_a, doc_b) key + one global count row.
+    FP/FN come from banding misses and the hot-shingle cap asymmetry
+    (the ground truth caps postings; LSH verify intersects full sets).
+    """
+    truth = jaccard_near_duplicates(
+        docs, text_col, id_col, n, threshold
+    ).select("doc_a", "doc_b", F.lit(1).alias("_t"))
+    pred = minhash_lsh_near_duplicates(
+        docs, text_col, id_col, n, threshold=threshold
+    ).select("doc_a", "doc_b", F.lit(1).alias("_p"))
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return j.agg(
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce(F.col("_p"), F.lit(0))).alias("n_pred"),
+        F.sum(
+            (F.col("_t").isNotNull() & F.col("_p").isNotNull()).cast("int")
+        ).alias("tp"),
+        F.sum((F.col("_t").isNull()).cast("int")).alias("fp"),
+        F.sum((F.col("_p").isNull()).cast("int")).alias("fn"),
+    ).selectExpr(
+        "n_truth", "n_pred", "tp", "fp", "fn",
+        f"cast({r6.format(x='CAST(tp AS DOUBLE) / nullif(tp + fp, 0)')} AS double)"
+        " AS precision",
+        f"cast({r6.format(x='CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS double)"
+        " AS recall",
+    )

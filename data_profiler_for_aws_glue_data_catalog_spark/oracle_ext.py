@@ -1203,3 +1203,40 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def dedup_eval_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Oracle for operators.dedup.dedup_eval: the two pair relations'
+    full-outer reconciliation."""
+    truth = jaccard_near_duplicates_sql(table, text_col, id_col, n, threshold)
+    pred = minhash_lsh_near_duplicates_sql(
+        table, text_col, id_col, n, threshold=threshold
+    )
+    r6 = round6_sql
+    return f"""
+WITH truth AS MATERIALIZED (SELECT doc_a, doc_b, 1 AS _t FROM ({truth})),
+pred AS MATERIALIZED (SELECT doc_a, doc_b, 1 AS _p FROM ({pred})),
+j AS (
+  SELECT COALESCE(t.doc_a, p.doc_a) AS doc_a,
+         COALESCE(t.doc_b, p.doc_b) AS doc_b, _t, _p
+  FROM truth t FULL OUTER JOIN pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+),
+c AS (
+  SELECT SUM(COALESCE(_t, 0)) AS n_truth, SUM(COALESCE(_p, 0)) AS n_pred,
+    SUM(CASE WHEN _t IS NOT NULL AND _p IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN _t IS NULL THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN _p IS NULL THEN 1 ELSE 0 END) AS fn
+  FROM j
+)
+SELECT n_truth, n_pred, tp, fp, fn,
+  CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fp, 0)')} AS DOUBLE) AS precision,
+  CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS DOUBLE) AS recall
+FROM c
+"""

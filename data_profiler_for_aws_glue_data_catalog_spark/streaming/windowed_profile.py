@@ -329,3 +329,82 @@ FROM {table}
 WHERE {ts_col} IS NOT NULL AND {entity_col} IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+SLIDING_COLS = ["window_start", "key", "n_events", "n_users", "vsum"]
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    window_duration: str = "2 hours",
+    slide_duration: str = "1 hour",
+) -> DataFrame:
+    """Overlapping (sliding) window aggregates per key — the trailing-2h
+    dashboard view refreshed hourly.
+
+    ``F.window(ts, window, slide)`` plans ONE Expand that replicates each
+    row into its window/slide memberships (here 2x) before a single
+    grouped aggregation — rows fan out by the overlap factor, but there
+    is still exactly one shuffle and full map-side partial aggregation.
+    At 100 TB the overlap factor is the cost knob: a 24h window sliding
+    hourly multiplies shuffle input 24x — prefer tumbling buckets +
+    rolling sums (operators/rolling.py) when the factor gets large.
+    The same expression runs as a Structured Streaming aggregation with
+    a watermark (late rows join every window they fall in).
+    """
+    grouped = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(entity_col).isNotNull()
+        )
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col(entity_col)).alias("n_users"),
+            F.sum(F.expr(f"try_cast({value_col} AS decimal(27,6))"))
+            .cast("double")
+            .alias("vsum"),
+        )
+    )
+    return grouped.select(
+        F.col("w.start").alias("window_start"), "key", "n_events", "n_users", "vsum"
+    )
+
+
+def sliding_window_counts_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    entity_col: str = "user_id",
+    value_col: str = "value",
+    window_seconds: int = 7200,
+    slide_seconds: int = 3600,
+) -> str:
+    """DuckDB mirror: each row expands to the slide-aligned window starts
+    s with s <= t < s + window (range arithmetic on epoch seconds)."""
+    t = f"CAST(floor(epoch({ts_col})) AS BIGINT)"
+    lo = f"CAST(floor(CAST(({t} - {window_seconds}) AS DOUBLE) / {slide_seconds}) AS BIGINT) + 1"
+    hi = f"CAST(floor(CAST({t} AS DOUBLE) / {slide_seconds}) AS BIGINT)"
+    return f"""
+WITH expanded AS (
+  SELECT CAST(to_timestamp(k * {slide_seconds}) AS TIMESTAMP) AS window_start,
+    CAST({key_col} AS VARCHAR) AS key,
+    {entity_col} AS ent, {value_col} AS v
+  FROM {table}
+  CROSS JOIN UNNEST(range({lo}, {hi} + 1)) AS t(k)
+  WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+    AND {entity_col} IS NOT NULL
+)
+SELECT window_start, key, COUNT(*) AS n_events,
+  COUNT(DISTINCT ent) AS n_users,
+  CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS vsum
+FROM expanded GROUP BY window_start, key
+"""

@@ -154,3 +154,15 @@ def test_embedding_dedup_default_plan_is_bucketed(spark, embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in brute
+
+
+def test_dedup_eval_confusion_identity(documents):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dedup_eval
+
+    r = dedup_eval(documents).collect()[0]
+    assert r["tp"] + r["fp"] == r["n_pred"]
+    assert r["tp"] + r["fn"] == r["n_truth"]
+    if r["n_pred"]:
+        assert 0.0 <= r["precision"] <= 1.0
+    if r["n_truth"]:
+        assert 0.0 <= r["recall"] <= 1.0

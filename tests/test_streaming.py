@@ -254,3 +254,25 @@ def test_late_event_stats_flags_regressions(spark):
     assert r["n"] == 4 and r["n_late"] == 1
     assert r["max_regression_s"] == 15
     assert abs(r["late_frac"] - 0.25) < 1e-12
+
+
+def test_sliding_window_membership(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import (
+        sliding_window_counts,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 30, 0)
+    df = spark.createDataFrame(
+        [(1, t0, 7, "k", 2.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = sliding_window_counts(df).collect()
+    # one event in a 2h/1h sliding spec belongs to exactly 2 windows
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [
+        dt.datetime(2026, 1, 1, 9, 0, 0),
+        dt.datetime(2026, 1, 1, 10, 0, 0),
+    ]
+    assert all(r["n_events"] == 1 and r["vsum"] == 2.0 for r in rows)
