@@ -1524,6 +1524,31 @@ def _best_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_split(li, "l_quantity", F.col("l_returnflag") == "R")
 
 
+def _db_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database health dashboard: one row per table from the full-DB
+    profile relation — size, column count, mean/min completeness."""
+    tables = load_tables(spark, sf_dir)
+    m = profile_database(tables, ProfilerConfig(), include_approx=False)
+    size = m.where(F.col("name") == "Size").select(
+        "table_name", F.col("value").cast("bigint").alias("n_rows")
+    )
+    comp = (
+        m.where(F.col("name") == "Completeness")
+        .groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            F.expr(
+                "cast(floor(cast(sum(cast(value AS decimal(27,6))) AS double)"
+                " / count(value) * 1000000.0 + 0.5) / 1000000.0 AS double)"
+            ).alias("mean_completeness"),
+            F.min("value").alias("min_completeness"),
+        )
+    )
+    return size.join(comp, "table_name").select(
+        "table_name", "n_rows", "n_columns", "mean_completeness", "min_completeness"
+    )
+
+
 def _sliding_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (2h window / 1h slide) per-type counts: one Expand,
     one shuffle."""
@@ -1714,6 +1739,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
         "ann_lsh_topk": _embs_op(lambda e: S.lsh_topk(e, ANN_QUERY_IDS)),
         "knn_join_embeddings": _embs_op(S.knn_join),
+        "truncation_recall_embeddings": _embs_op(
+            lambda e: S.truncation_recall(e, ANN_QUERY_IDS)
+        ),
         "kmeans_step": _kmeans_step,
         "kmeans_train": _kmeans_train,
         "stream_dedup_exact": _stream_dedup_exact,
@@ -1914,6 +1942,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_events": _changepoint_events,
         "late_events": _late_events,
         "sliding_counts_events": _sliding_counts_events,
+        "db_health_summary": _db_health_summary,
         "negative_pairs_documents": _negative_pairs_documents,
         "split_leakage_documents": _split_leakage_documents,
         "woe_lang_documents": _woe_lang_documents,
@@ -1973,6 +2002,7 @@ def _extension_oracles() -> dict[str, str]:
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "knn_join_embeddings": OX.knn_join_sql(),
         "dedup_eval_lsh": OX.dedup_eval_sql(),
+        "truncation_recall_embeddings": OX.truncation_recall_sql(ANN_QUERY_IDS),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),
         "kmeans_train": OX.kmeans_train_sql(n_iters=2),
@@ -2326,6 +2356,23 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
 SELECT 4 AS n_files, COUNT(*) AS n_rows,
   CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
 FROM events
+""",
+        "db_health_summary": """
+WITH m AS (""" + O.profile_database_sql(expensive=False) + """),
+size_t AS (
+  SELECT table_name, CAST(value AS BIGINT) AS n_rows FROM m WHERE name = 'Size'
+),
+comp AS (
+  SELECT table_name, COUNT(*) AS n_columns,
+    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+      / COUNT(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+      AS mean_completeness,
+    MIN(value) AS min_completeness
+  FROM m WHERE name = 'Completeness' GROUP BY table_name
+)
+SELECT s.table_name, s.n_rows, c.n_columns, c.mean_completeness,
+       c.min_completeness
+FROM size_t s JOIN comp c ON s.table_name = c.table_name
 """,
         "sliding_counts_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile", fromlist=["x"]

@@ -201,6 +201,9 @@ def main() -> None:
         "late_events",
         "negative_pairs_documents",
         "sliding_counts_events",
+        "db_health_summary",
+        "truncation_recall_embeddings",
+        "dedup_eval_lsh",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

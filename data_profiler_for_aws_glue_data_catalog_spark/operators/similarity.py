@@ -359,3 +359,48 @@ def knn_join(
         )
     )
     return _ranked_topk(scored, k)
+
+
+RECALL_COLS = ["query_id", "k", "n_overlap", "recall"]
+
+
+def truncation_recall(
+    embs: DataFrame,
+    query_ids: list[int],
+    dim: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED vectors against full-dimension
+    ground truth — the Matryoshka-style dimension-reduction audit: how
+    many of each query's true top-k survive when the index stores only
+    the first ``dim`` components (storage/latency vs recall knob).
+
+    Two exact top-k runs (full + truncated are both brute-force over the
+    same broadcast queries) reconciled with a semi-join per query.
+    """
+    full = cosine_topk(embs, query_ids, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = cosine_topk(
+        embs.withColumn("_trunc", F.slice(F.col(vec_col), 1, dim)),
+        query_ids,
+        k,
+        "_trunc",
+        id_col,
+    ).select("query_id", "neighbor_id")
+    hit = full.join(trunc, ["query_id", "neighbor_id"], "leftsemi")
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    per_q = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    ov = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        per_q.join(ov, "query_id", "left_outer")
+        .selectExpr(
+            "query_id",
+            "k",
+            "coalesce(n_overlap, 0) AS n_overlap",
+            f"cast({r6.format(x='CAST(coalesce(n_overlap, 0) AS DOUBLE) / k')} AS double)"
+            " AS recall",
+        )
+    )

@@ -1240,3 +1240,38 @@ SELECT n_truth, n_pred, tp, fp, fn,
   CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS DOUBLE) AS recall
 FROM c
 """
+
+
+def truncation_recall_sql(
+    query_ids: list[int],
+    dim: int = 8,
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle for similarity.truncation_recall (list slice == F.slice)."""
+    full = cosine_topk_sql(query_ids, k, table, vec_col, id_col)
+    trunc_table = (
+        f"(SELECT {id_col}, {vec_col}[1:{dim}] AS _trunc FROM {table})"
+    )
+    trunc = cosine_topk_sql(query_ids, k, trunc_table, "_trunc", id_col)
+    r6 = round6_sql
+    return f"""
+WITH full_tk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({full})
+),
+trunc_tk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({trunc})
+),
+per_q AS (SELECT query_id, COUNT(*) AS k FROM full_tk GROUP BY query_id),
+ov AS (
+  SELECT f.query_id, COUNT(*) AS n_overlap
+  FROM full_tk f JOIN trunc_tk t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY f.query_id
+)
+SELECT p.query_id, p.k, COALESCE(o.n_overlap, 0) AS n_overlap,
+  CAST({r6('CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / p.k')} AS DOUBLE) AS recall
+FROM per_q p LEFT JOIN ov o ON p.query_id = o.query_id
+"""

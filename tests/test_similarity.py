@@ -180,3 +180,20 @@ def test_knn_join_covers_every_vector(embeddings):
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_truncation_recall_full_dim_is_perfect(embeddings):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import truncation_recall
+
+    dim = len(embeddings.select("embedding").first()[0])
+    rows = truncation_recall(embeddings, [0, 1, 2], dim=dim, k=5).collect()
+    assert len(rows) == 3
+    assert all(r["recall"] == 1.0 for r in rows)  # no truncation -> identical
+
+
+def test_truncation_recall_bounded(embeddings):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import truncation_recall
+
+    rows = truncation_recall(embeddings, [0, 1], dim=4, k=5).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["n_overlap"] <= r["k"] for r in rows)
