@@ -151,11 +151,14 @@ def ks_statistic(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
         F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = f.select(
+    # adaptive distributed prefix sums: plain window for small distinct
+    # relations, two-phase cumsum when the value domain is data-sized
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+
+    cdf = partitioned_prefix_sums(f, "v", ["cl", "cr"]).select(
         "v",
-        F.sum("cl").over(w).alias("cuml"),
-        F.sum("cr").over(w).alias("cumr"),
+        F.col("cum_cl").alias("cuml"),
+        F.col("cum_cr").alias("cumr"),
     )
     tot = f.agg(F.sum("cl").alias("nl"), F.sum("cr").alias("nr"))
     d = cdf.crossJoin(F.broadcast(tot)).select(

@@ -164,11 +164,12 @@ def best_split(
     freq = base.groupBy("x").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = freq.select(
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+
+    cum = partitioned_prefix_sums(freq, "x", ["c", "p"]).select(
         "x",
-        F.sum("c").over(w).alias("nl"),
-        F.sum("p").over(w).alias("pl"),
+        F.col("cum_c").alias("nl"),
+        F.col("cum_p").alias("pl"),
     )
     tot = freq.agg(
         F.sum("c").alias("n"), F.sum("p").alias("pt")

@@ -33,16 +33,24 @@ SPEARMAN_COLS = ["col_a", "col_b", "n_pairs", "corr"]
 
 
 def _ranked(df: DataFrame, columns: list[str]) -> DataFrame:
-    """Complete-rows frame with each column replaced by its average rank."""
+    """Complete-rows frame with each column replaced by its average rank.
+
+    Cumulative counts come from the DISTRIBUTED prefix-sum helper
+    (plans/partitioning.partitioned_prefix_sums), not a single-partition
+    window — near-unique numeric columns make the distinct relation
+    data-sized, and the two-phase cumsum keeps ranking parallel there.
+    """
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+
     base = df.na.drop(subset=list(columns)).select(*columns)
     out = base
     for c in columns:
         freq = base.groupBy(F.col(c).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
-        w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-        ranks = freq.select(
+        cum = partitioned_prefix_sums(freq, "_v", ["_c"])
+        ranks = cum.select(
             "_v",
             (
-                (F.sum("_c").over(w) - F.col("_c")).cast("double")
+                (F.col("cum__c") - F.col("_c")).cast("double")
                 + (F.col("_c") + 1).cast("double") / F.lit(2.0)
             ).alias(f"_rank_{c}"),
         )

@@ -53,3 +53,83 @@ def materialize(df: DataFrame) -> DataFrame:
     df = df.persist()
     df.count()
     return df
+
+
+def partitioned_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+    small_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Distributed prefix sums: for each ``c`` in ``sum_cols`` add
+    ``cum_<c>`` = sum of c over all rows with order_col <= this row's
+    (in ``order_col`` order, including the row itself).
+
+    A plain ``Window.orderBy(order_col)`` computes this on ONE task — the
+    classic single-partition-window scale killer for rank/CDF operators.
+    This is the textbook two-phase alternative:
+
+      1. range-repartition by ``order_col`` (keeps order across
+         partitions, equal keys co-located);
+      2. per-partition local cumsums (window partitioned by the physical
+         partition id — parallel across partitions);
+      3. per-partition totals collected to the driver (one tiny row per
+         partition), turned into a broadcast offset map added map-side.
+
+    Output values are INDEPENDENT of where the sampled range boundaries
+    fall (offsets are computed from the actual partition sums), so the
+    result is deterministic even though RangePartitioner samples. Input
+    rows must be unique in ``order_col`` (pre-aggregate first — every
+    caller here feeds a ``groupBy(value)`` frequency relation).
+
+    ADAPTIVE: below ``small_threshold`` rows the plain single-partition
+    window wins (the two-phase plan pays ~6 extra jobs + a driver
+    collect; a 1M-row sorted window is a sub-second single task) — the
+    distributed path engages only when the distinct relation is actually
+    data-sized. Both paths produce identical values.
+    """
+    from pyspark.sql import Window, functions as F
+
+    if df.count() <= small_threshold:
+        w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        return df.select(
+            "*", *[F.sum(c).over(w).alias(f"cum_{c}") for c in sum_cols]
+        )
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = materialize(parted)  # pin pids: both consumers must agree
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.select(
+        "*", *[F.sum(c).over(w).alias(f"_lc_{c}") for c in sum_cols]
+    )
+    totals = (
+        parted.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    offsets: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    for c in sum_cols:
+        acc = 0
+        for r in sorted(totals, key=lambda r: r["_pid"]):
+            offsets[c][r["_pid"]] = acc
+            acc += r[c] or 0
+    out = local
+    for c in sum_cols:
+        m = F.create_map(
+            *[x for pid, off in sorted(offsets[c].items())
+              for x in (F.lit(pid), F.lit(off))]
+        )
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.coalesce(F.element_at(m, F.col("_pid")), F.lit(0))
+             + F.col(f"_lc_{c}")),
+        )
+    return out.drop("_pid", *[f"_lc_{c}" for c in sum_cols])

@@ -184,3 +184,27 @@ def test_column_fingerprints_no_shuffle(spark):
     nation = read_parquet_table(spark, f"{SF_SMOKE}/nation.parquet")
     p = plan_str(column_fingerprints(nation, "nation"), "simple")
     assert "Exchange hashpartitioning" not in p  # 1-row fused min-agg only
+
+
+def test_partitioned_prefix_sums_matches_window(spark):
+    """The distributed two-phase cumsum must equal the single-window
+    result, forced down both code paths via the threshold knob."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+
+    df = spark.range(5000).select(
+        (F.col("id") * 7 % 4999).alias("v"), F.lit(1).alias("c")
+    ).groupBy("v").agg(F.sum("c").alias("c"))
+    small = {
+        r["v"]: r["cum_c"]
+        for r in partitioned_prefix_sums(df, "v", ["c"]).collect()
+    }
+    big = {
+        r["v"]: r["cum_c"]
+        for r in partitioned_prefix_sums(
+            df, "v", ["c"], small_threshold=0
+        ).collect()
+    }
+    assert small == big
+    assert small[max(small)] == 5000  # last cum = total row weight
