@@ -1524,6 +1524,33 @@ def _best_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_split(li, "l_quantity", F.col("l_returnflag") == "R")
 
 
+def _align_union_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: current orders + an evolved snapshot
+    (price as string, one column dropped, one added) re-aligned."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.types import align_union
+
+    cur = _t(spark, sf_dir, "orders")
+    evolved = (
+        cur.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .drop("o_orderpriority")
+        .withColumn("o_channel", F.lit("web"))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+    )
+    u = align_union([cur, evolved])
+    return u.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "o_channel"
+    )
+
+
+def _dedup_within_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-tolerance dedup flags: same (user, type) within 10 minutes."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.row_dedup import dedup_within_interval
+
+    return dedup_within_interval(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], "ts", "event_id"
+    )
+
+
 def _db_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database health dashboard: one row per table from the full-DB
     profile relation — size, column count, mean/min completeness."""
@@ -1943,6 +1970,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_events": _late_events,
         "sliding_counts_events": _sliding_counts_events,
         "db_health_summary": _db_health_summary,
+        "dedup_within_events": _dedup_within_events,
+        "align_union_orders": _align_union_orders,
         "negative_pairs_documents": _negative_pairs_documents,
         "split_leakage_documents": _split_leakage_documents,
         "woe_lang_documents": _woe_lang_documents,
@@ -2357,6 +2386,21 @@ SELECT 4 AS n_files, COUNT(*) AS n_rows,
   CAST(SUM(CAST(event_id AS DECIMAL(27,0))) AS DOUBLE) AS id_sum
 FROM events
 """,
+        "align_union_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+       CAST(NULL AS VARCHAR) AS o_channel
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey,
+       TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE),
+       CAST(NULL AS VARCHAR), 'web'
+FROM orders
+""",
+        "dedup_within_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.row_dedup", fromlist=["x"]
+        ).dedup_within_interval_sql(
+            "events", ["user_id", "event_type"], "ts", "event_id"
+        ),
         "db_health_summary": """
 WITH m AS (""" + O.profile_database_sql(expensive=False) + """),
 size_t AS (

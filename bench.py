@@ -204,6 +204,8 @@ def main() -> None:
         "db_health_summary",
         "truncation_recall_embeddings",
         "dedup_eval_lsh",
+        "dedup_within_events",
+        "align_union_orders",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

@@ -162,7 +162,8 @@ flagged AS (
   SELECT key,
     CASE WHEN _prevmax > _ts THEN 1 ELSE 0 END AS _late,
     CASE WHEN _prevmax > _ts
-         THEN CAST(epoch(_prevmax) AS BIGINT) - CAST(epoch(_ts) AS BIGINT)
+         THEN CAST(floor(epoch(_prevmax)) AS BIGINT)
+              - CAST(floor(epoch(_ts)) AS BIGINT)
          ELSE 0 END AS _reg
   FROM (
     SELECT key, _ts,

@@ -20,7 +20,7 @@ shuffle rows at 32 bytes + count regardless of row width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
@@ -82,4 +82,80 @@ SELECT n_rows, n_distinct_rows, n_dup_rows,
   n_rows - n_distinct_rows AS n_redundant,
   CAST({ROUND6.format(x=rate)} AS DOUBLE) AS dup_rate
 FROM agg
+"""
+
+
+WITHIN_COLS = ["key", "event_id", "ts", "is_dup", "gap_s"]
+
+
+def dedup_within_interval(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    max_gap_seconds: int = 600,
+) -> DataFrame:
+    """Batch time-tolerance dedup: flag an event as a duplicate when the
+    SAME key fired within ``max_gap_seconds`` before it (double-sent
+    webhooks, retried ingestion, bounced clicks). The batch sibling of
+    ``stream_dedup_within_watermark`` — identical "duplicates beyond the
+    horizon both survive" semantics, so backfills and the live stream
+    agree.
+
+    Per-key lag window (one shuffle). Chained bursts: each event
+    compares to its immediate predecessor, so A..B..C at 4-minute gaps
+    marks B and C both dup (predecessor within tolerance), matching the
+    watermark-dedup behavior of a state entry refreshed per arrival.
+
+    Output: one row per event with its composite key, dup flag, and the
+    gap to the predecessor (NULL for a key's first event).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy("key").orderBy("_ts", "_id")
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        key.alias("key"),
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+    )
+    lagged = base.select(
+        "key",
+        "_id",
+        "_ts",
+        (
+            F.unix_timestamp("_ts") - F.unix_timestamp(F.lag("_ts").over(w))
+        ).alias("gap_s"),
+    )
+    return lagged.select(
+        "key",
+        F.col("_id").alias("event_id"),
+        F.col("_ts").alias("ts"),
+        (F.col("gap_s") <= max_gap_seconds).alias("is_dup"),
+        "gap_s",
+    ).withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+
+
+def dedup_within_interval_sql(
+    table: str,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    max_gap_seconds: int = 600,
+) -> str:
+    """DuckDB mirror of :func:`dedup_within_interval`."""
+    key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    return f"""
+WITH base AS (
+  SELECT ({key}) AS key, {id_col} AS _id, {ts_col} AS _ts
+  FROM {table} WHERE {ts_col} IS NOT NULL
+),
+lagged AS (
+  SELECT key, _id, _ts,
+    CAST(floor(epoch(_ts)) AS BIGINT)
+      - CAST(floor(epoch(LAG(_ts) OVER (PARTITION BY key ORDER BY _ts, _id)))
+             AS BIGINT) AS gap_s
+  FROM base
+)
+SELECT key, _id AS event_id, _ts AS ts,
+  COALESCE(gap_s <= {max_gap_seconds}, FALSE) AS is_dup, gap_s
+FROM lagged
 """

@@ -78,3 +78,40 @@ def cast_convertibles(df: DataFrame, config: ProfilerConfig) -> DataFrame:
         else:
             out.append(F.col(sql_ident(f.name)))
     return df.select(*out)
+
+
+def align_union(frames: list[DataFrame]) -> DataFrame:
+    """Schema-evolution-tolerant union: unify the column set across
+    snapshots written at different schema versions (the day-over-day
+    reality of any long-lived table).
+
+    Columns missing from a frame are NULL-filled; columns present under
+    conflicting types are widened by Spark's own ``unionByName`` cast
+    resolution after an explicit common-type projection: for each name,
+    the FIRST frame that has it defines the target type, later variants
+    cast to it (cast failures -> NULL via try_cast, never a job abort —
+    reading old snapshots must not be able to kill a backfill).
+
+    Pure metadata + map-side projections; the union itself adds no
+    shuffle. Column order follows first appearance across ``frames``.
+    """
+    if not frames:
+        raise ValueError("align_union: need at least one frame")
+    target: dict[str, str] = {}
+    for f in frames:
+        for field in f.schema.fields:
+            target.setdefault(field.name, field.dataType.simpleString())
+    cols = list(target)
+    out = None
+    for f in frames:
+        have = {x.name for x in f.schema.fields}
+        proj = f.select(
+            *[
+                F.expr(f"try_cast(`{c}` AS {target[c]}) AS `{c}`")
+                if c in have
+                else F.lit(None).cast(target[c]).alias(c)
+                for c in cols
+            ]
+        )
+        out = proj if out is None else out.unionByName(proj)
+    return out

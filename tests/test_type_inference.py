@@ -58,3 +58,18 @@ def test_single_fused_pass(spark, lineitem):
         .toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_align_union_schema_evolution(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.types import align_union
+
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    v2 = spark.createDataFrame([(2, 3.5, "x")], "id int, score double, name string")
+    v3 = spark.createDataFrame([("7", None)], "id string, score double")
+    out = align_union([v1, v2, v3])
+    assert out.columns == ["id", "name", "score"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None and rows[1]["name"] == "a"
+    assert rows[2]["score"] == 3.5
+    assert rows[7]["id"] == 7  # string "7" cast to first-seen int type
+    assert out.count() == 3
