@@ -208,3 +208,25 @@ def test_partitioned_prefix_sums_matches_window(spark):
     }
     assert small == big
     assert small[max(small)] == 5000  # last cum = total row weight
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """A date-partitioned write must yield partition-pruned scans: the
+    filter lands in PartitionFilters and non-matching directories are
+    never read — the layout contract that makes time-scoped queries at
+    100 TB touch only their slice."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(days=i % 5)) for i in range(100)],
+        "id long, ts timestamp",
+    ).withColumn("dt", F.to_date("ts"))
+    out = str(tmp_path / "parted")
+    df.write.partitionBy("dt").parquet(out)
+    back = spark.read.parquet(out).where(F.col("dt") == "2026-01-03")
+    p = plan_str(back)
+    assert "PartitionFilters" in p and "2026-01-03" in p
+    assert back.count() == 20
