@@ -1,0 +1,99 @@
+"""Per-group z-score normalization — the parametric feature transform.
+
+Sibling of operators/rank_normalize.py (distribution-free percent
+ranks): standardize a value column within each group to mean 0 /
+population-std 1 — the transform that makes per-tenant or per-source
+metrics comparable before thresholding, clustering, or model input.
+
+Plan shape: ONE grouped aggregation builds per-group decimal-exact
+moments (count, sum, sum of squares — the scan_metrics accumulation
+policy, same overflow domain), broadcast back and applied map-side; the
+data never shuffles (contrast the window formulation
+``(x - avg(x) over w) / stddev(x) over w``, which shuffles the whole
+table by group and holds each group in one task). Groups with zero
+variance or a single row emit NULL z — flagging, not poisoning,
+constant segments.
+
+Determinism: mean and std come from the fixed decimal->double shapes
+mirrored in the oracle; z is ROUND6'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(27,6)"
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+ZSCORE_COLS = ["group_key", "id", "value", "z"]
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(group_key, id, value, z): within-group standardized values.
+
+    z = (x - mean) / stddev_pop, NULL when the group is degenerate.
+    """
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    stats = base.groupBy("group_key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr(f"cast(sum(try_cast(value AS {DEC})) AS double)").alias("_s"),
+        # squares accumulate in decimal(18,6) (the scan_metrics SQ_DECIMAL
+        # convention: product decimal(37,12) stays inside precision 38)
+        F.expr(
+            "cast(sum(try_cast(value AS decimal(18,6))"
+            " * try_cast(value AS decimal(18,6))) AS double)"
+        ).alias("_s2"),
+    )
+    mean = "(_s / _n)"
+    var = f"greatest(_s2 / _n - {mean} * {mean}, 0.0)"
+    z = f"try_divide(value - {mean}, sqrt({var}))"
+    return (
+        base.join(F.broadcast(stats), "group_key")
+        .selectExpr(
+            "group_key",
+            "id",
+            "value",
+            f"CASE WHEN _n > 1 AND {var} > 0.0 THEN "
+            f"cast({ROUND6.format(x=z)} AS double) END AS z",
+        )
+    )
+
+
+def zscore_normalize_sql(
+    table: str, value_col: str, group_col: str, id_col: str
+) -> str:
+    """DuckDB mirror of :func:`zscore_normalize` (same moment shapes)."""
+    mean = "(_s / _n)"
+    var = f"greatest(_s2 / _n - {mean} * {mean}, 0.0)"
+    z = f"(value - {mean}) / nullif(sqrt({var}), 0.0)"
+    return f"""
+WITH base AS (
+  SELECT CAST({group_col} AS VARCHAR) AS group_key, {id_col} AS id,
+    CAST({value_col} AS DOUBLE) AS value
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+stats AS (
+  SELECT group_key, COUNT(*) AS _n,
+    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
+    CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+         AS DOUBLE) AS _s2
+  FROM base GROUP BY group_key
+)
+SELECT b.group_key, b.id, b.value,
+  CASE WHEN _n > 1 AND {var} > 0.0
+       THEN CAST({ROUND6.format(x=z)} AS DOUBLE) END AS z
+FROM base b JOIN stats USING (group_key)
+"""
