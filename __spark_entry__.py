@@ -1601,6 +1601,119 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _w1_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein drift on events.value, same halves as the KS."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_1d(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+
+def _zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.zscore import zscore_normalize
+
+    return zscore_normalize(
+        _t(spark, sf_dir, "events"), "value", "event_type", "event_id"
+    )
+
+
+def _weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.weighted_sampling import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars", 100)
+
+
+def _calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is document length predictive of English? Lift/calibration view."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.calibration import calibration_curve
+
+    d = _t(spark, sf_dir, "documents")
+    return calibration_curve(d, "n_chars", F.col("lang") == "en", 10)
+
+
+def _auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.auc import roc_auc
+
+    d = _t(spark, sf_dir, "documents")
+    return roc_auc(d, "n_chars", F.col("lang") == "en")
+
+
+def _bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-slot-prefiltered semi join: lineitems of URGENT orders."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.bloom_join import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    return bloom_semi_join(li, keys, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+def _attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.attribution import touch_attribution
+
+    return touch_attribution(_t(spark, sf_dir, "events"))
+
+
+RECON_EXPR = "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+
+
+def _reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.reconcile import reconcile_totals
+
+    return reconcile_totals(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey", "o_totalprice", F.expr(RECON_EXPR),
+    )
+
+
+def _reconcile_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.reconcile import (
+        reconcile_summary,
+        reconcile_totals,
+    )
+
+    return reconcile_summary(
+        reconcile_totals(
+            _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+            "o_orderkey", "l_orderkey", "o_totalprice", F.expr(RECON_EXPR),
+        )
+    )
+
+
+def _pool_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled label centroids, exposed long-form (one row per dim)
+    so the cross-engine compare never hinges on array rendering."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.pooling import mean_pool
+
+    pooled = mean_pool(_t(spark, sf_dir, "embeddings"), "label")
+    return pooled.select(
+        "key", "n_vectors", F.posexplode("pooled").alias("dim_i", "value")
+    )
+
+
+def _feature_ranking_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stump-gain ranking of three candidate features for the returns
+    label — best_split per feature, one union."""
+    from functools import reduce
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep import best_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    label = F.col("l_returnflag") == "R"
+    frames = [
+        best_split(li, c, label)
+        for c in ("l_quantity", "l_discount", "l_tax")
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def _changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM mean-shift profile over the value stream."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint import mean_shift
@@ -1967,6 +2080,17 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_events_halves": _jsd_events_halves,
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
+        "w1_events_halves": _w1_events_halves,
+        "zscore_events": _zscore_events,
+        "weighted_sample_documents": _weighted_sample_documents,
+        "calibration_documents": _calibration_documents,
+        "auc_documents": _auc_documents,
+        "bloom_semi_join_lineitem": _bloom_semi_join_lineitem,
+        "attribution_events": _attribution_events,
+        "reconcile_orders": _reconcile_orders,
+        "reconcile_summary_orders": _reconcile_summary_orders,
+        "pool_embeddings_by_label": _pool_embeddings_by_label,
+        "feature_ranking_lineitem": _feature_ranking_lineitem,
         "late_events": _late_events,
         "sliding_counts_events": _sliding_counts_events,
         "db_health_summary": _db_health_summary,
@@ -2450,6 +2574,73 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
                 "ts", "value", "event_type", "event_id", 86400,
             ),
             value_col="vsum", bucket_seconds=86400,
+        ),
+        "w1_events_halves": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein", fromlist=["x"]
+        ).wasserstein_1d_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT * FROM events WHERE event_id % 2 = 1",
+            "value",
+        ),
+        "zscore_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.zscore", fromlist=["x"]
+        ).zscore_normalize_sql("events", "value", "event_type", "event_id"),
+        "weighted_sample_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.weighted_sampling", fromlist=["x"]
+        ).weighted_sample_sql("documents", "n_chars", 100),
+        "calibration_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.calibration", fromlist=["x"]
+        ).calibration_curve_sql("documents", "n_chars", "lang = 'en'", 10),
+        "auc_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.auc", fromlist=["x"]
+        ).roc_auc_sql("documents", "n_chars", "lang = 'en'"),
+        "bloom_semi_join_lineitem": """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+        "attribution_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.attribution", fromlist=["x"]
+        ).touch_attribution_sql(),
+        "reconcile_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.reconcile", fromlist=["x"]
+        ).reconcile_totals_sql(
+            "orders", "lineitem", "o_orderkey", "l_orderkey",
+            "o_totalprice", RECON_EXPR,
+        ),
+        "reconcile_summary_orders": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.reconcile", fromlist=["x"]
+        ).reconcile_summary_sql(
+            __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.reconcile", fromlist=["x"]
+            ).reconcile_totals_sql(
+                "orders", "lineitem", "o_orderkey", "l_orderkey",
+                "o_totalprice", RECON_EXPR,
+            )
+        ),
+        "pool_embeddings_by_label": """
+SELECT key, MAX(_n) OVER (PARTITION BY key) AS n_vectors,
+       dim_i, _m AS value
+FROM (
+  SELECT CAST(label AS VARCHAR) AS key, i - 1 AS dim_i,
+    COUNT(*) AS _n,
+    CAST(floor(CAST(SUM(CAST(
+        floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      AS DECIMAL(27,6))) AS DOUBLE)
+      / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS _m
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+  GROUP BY 1, 2
+)
+""",
+        "feature_ranking_lineitem": "\nUNION ALL\n".join(
+            "SELECT * FROM ("
+            + __import__(
+                "data_profiler_for_aws_glue_data_catalog_spark.operators.feature_prep", fromlist=["x"]
+            ).best_split_sql("lineitem", c, "l_returnflag = 'R'")
+            + ")"
+            for c in ("l_quantity", "l_discount", "l_tax")
         ),
         "changepoint_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.changepoint", fromlist=["x"]

@@ -191,7 +191,6 @@ def main() -> None:
         "spearman_lineitem",
         "changepoint_events",
         "compact_events",
-        "pagerank_event_graph",
         "stream_stream_join_events",
         "ohlc_events",
         "fill_gaps_events",
@@ -206,6 +205,18 @@ def main() -> None:
         "dedup_eval_lsh",
         "dedup_within_events",
         "align_union_orders",
+        "w1_events_halves",
+        "zscore_events",
+        "weighted_sample_documents",
+        "calibration_documents",
+        "auc_documents",
+        "bloom_semi_join_lineitem",
+        "attribution_events",
+        "reconcile_orders",
+        "reconcile_summary_orders",
+        "pool_embeddings_by_label",
+        "feature_ranking_lineitem",
+        "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
     # their scale path (IVF-bucketed / LSH) is what gets benched.

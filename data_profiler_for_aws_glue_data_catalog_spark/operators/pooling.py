@@ -50,11 +50,16 @@ def mean_pool(
         F.col(key_col).cast("string").alias("key"),
         F.posexplode(F.col(vec_col)).alias("dim_i", "x"),
     )
+    # float inputs round-trip through ROUND6'd doubles before the decimal
+    # cast (vector_stats recipe): a 6-dp double converts to DECIMAL(27,6)
+    # identically in both engines, where a raw float->decimal cast can
+    # differ in the half-up/half-even last digit.
+    xr = ROUND6.format(x="cast(x AS double)")
     per_dim = exploded.groupBy("key", "dim_i").agg(
         F.count(F.lit(1)).alias("_n"),
         F.expr(
             "cast(" + ROUND6.format(
-                x=f"cast(sum(try_cast(x AS {DEC})) AS double) / count(x)"
+                x=f"cast(sum(try_cast({xr} AS {DEC})) AS double) / count(x)"
             ) + " AS double)"
         ).alias("_m"),
     )
@@ -80,20 +85,22 @@ def mean_pool_sql(
     vec_col: str = "embedding",
     expected_dim: int | None = None,
 ) -> str:
-    """DuckDB mirror of :func:`mean_pool` (UNNEST WITH ORDINALITY ==
-    posexplode; list built back in dim order)."""
+    """DuckDB mirror of :func:`mean_pool` (index explode via
+    range()+element access — DuckDB 1.0 lacks UNNEST WITH ORDINALITY;
+    list built back in dim order)."""
     guard = (
         f" AND len({vec_col}) = {expected_dim}" if expected_dim is not None else ""
     )
+    xr = ROUND6.format(x="CAST(x AS DOUBLE)")
     mean = ROUND6.format(
-        x="CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(x)"
+        x=f"CAST(SUM(CAST({xr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(x)"
     )
     return f"""
 WITH exploded AS (
   SELECT CAST({key_col} AS VARCHAR) AS key,
-    u.ord - 1 AS dim_i, u.x AS x
+    i - 1 AS dim_i, {vec_col}[i] AS x
   FROM {table},
-    UNNEST({vec_col}) WITH ORDINALITY AS u(x, ord)
+    UNNEST(range(1, len({vec_col}) + 1)) AS u(i)
   WHERE {key_col} IS NOT NULL AND {vec_col} IS NOT NULL{guard}
 ),
 per_dim AS (
