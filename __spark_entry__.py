@@ -1554,8 +1554,14 @@ def _dedup_within_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _db_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database health dashboard: one row per table from the full-DB
     profile relation — size, column count, mean/min completeness."""
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import materialize
+
     tables = load_tables(spark, sf_dir)
-    m = profile_database(tables, ProfilerConfig(), include_approx=False)
+    # both branches below consume the profile relation: materialize it so
+    # the fused scan runs ONCE, not once per branch
+    m = materialize(
+        profile_database(tables, ProfilerConfig(), include_approx=False)
+    )
     size = m.where(F.col("name") == "Size").select(
         "table_name", F.col("value").cast("bigint").alias("n_rows")
     )

@@ -74,6 +74,12 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(float(1.0) / n_nodes).alias("rank")
     )
+    # the DANGLING SET is static (nodes without out-edges); only its rank
+    # mass changes per iteration — precompute it once instead of planning
+    # an anti-join every round
+    dangling_nodes = materialize(
+        nodes.join(outw, nodes.node == outw.src, "left_anti").select("node")
+    )
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         contrib = (
@@ -86,7 +92,7 @@ def pagerank(
             .agg(F.sum(F.expr(f"cast(c AS {DEC12})")).cast("double").alias("s"))
         )
         dangling = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            ranks.join(F.broadcast(dangling_nodes), "node", "leftsemi")
             .agg(
                 F.coalesce(
                     F.sum(F.expr(f"cast(rank AS {DEC12})")).cast("double"),
