@@ -1607,6 +1607,40 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: (nation, mktsegment) as quasi-identifiers, account
+    balance band as the sensitive attribute."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity import k_anonymity
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2)
+
+
+def _repeated_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detector: chunk the corpus, hash each
+    chunk's normalized text, report chunks appearing in > 1 DISTINCT
+    document (top 50 by spread). Composition of chunking + the exact-
+    dedup content key — one extra shuffle on the chunk hash."""
+    from data_profiler_for_aws_glue_data_catalog_spark.functions.text import normalized
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.chunking import chunk_documents
+
+    ch = chunk_documents(_t(spark, sf_dir, "documents"))
+    hashed = ch.select(
+        F.col("id").alias("doc_id"), F.md5(normalized(F.col("chunk_text"))).alias("h")
+    )
+    spread = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        spread.where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("h"))
+        .limit(50)
+    )
+
+
 def _w1_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein drift on events.value, same halves as the KS."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein import wasserstein_1d
@@ -2087,6 +2121,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
         "w1_events_halves": _w1_events_halves,
+        "k_anonymity_customer": _k_anonymity_customer,
+        "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
         "weighted_sample_documents": _weighted_sample_documents,
         "calibration_documents": _calibration_documents,
@@ -2581,6 +2617,31 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
             ),
             value_col="vsum", bucket_seconds=86400,
         ),
+        "k_anonymity_customer": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity", fromlist=["x"]
+        ).k_anonymity_sql(
+            "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
+            " FROM customer) _c",
+            ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2,
+        ),
+        "repeated_passages_documents": (
+            lambda OXX: """
+WITH ch AS (SELECT id AS doc_id, chunk_text FROM ("""
+            + OXX.chunk_documents_sql()
+            + """)),
+hashed AS (
+  SELECT doc_id, md5("""
+            + OXX.norm_sql("chunk_text")
+            + """) AS h FROM ch
+),
+spread AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+  FROM hashed GROUP BY h
+)
+SELECT h, n_docs, n_occurrences FROM spread WHERE n_docs > 1
+ORDER BY n_docs DESC, n_occurrences DESC, h ASC LIMIT 50
+"""
+        )(__import__("data_profiler_for_aws_glue_data_catalog_spark.oracle_ext", fromlist=["x"])),
         "w1_events_halves": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein", fromlist=["x"]
         ).wasserstein_1d_sql(

@@ -216,6 +216,8 @@ def main() -> None:
         "reconcile_summary_orders",
         "pool_embeddings_by_label",
         "feature_ranking_lineitem",
+        "k_anonymity_customer",
+        "repeated_passages_documents",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
