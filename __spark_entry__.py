@@ -1607,6 +1607,40 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _buyers_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set operators: customers ordering in BOTH halves of the
+    order window (INTERSECT) vs only the early half (EXCEPT), counted
+    per market segment. Spark intersect()/exceptAll() plan as
+    LeftSemi/LeftAnti over distinct inputs — same engine machinery, ANSI
+    set semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    mid = F.lit("1998-06-01").cast("timestamp")
+    early = orders.where(F.col("o_orderdate") < mid).select("o_custkey").distinct()
+    late = orders.where(F.col("o_orderdate") >= mid).select("o_custkey").distinct()
+    both = early.intersect(late).withColumn("set_op", F.lit("intersect"))
+    only_early = early.exceptAll(late).withColumn("set_op", F.lit("except"))
+    u = both.unionByName(only_early)
+    return (
+        u.join(F.broadcast(cust), u.o_custkey == cust.c_custkey)
+        .groupBy("set_op", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.unpivot (ANSI UNPIVOT): lineitem measures to the
+    long (id, measure, value) shape — the inverse of the wide profile's
+    pivot. Map-side Expand, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
 def _k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy audit: (nation, mktsegment) as quasi-identifiers, account
     balance band as the sensitive attribute."""
@@ -2122,6 +2156,8 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_events": _changepoint_events,
         "w1_events_halves": _w1_events_halves,
         "k_anonymity_customer": _k_anonymity_customer,
+        "buyers_intersect_except": _buyers_intersect_except,
+        "unpivot_lineitem_measures": _unpivot_lineitem_measures,
         "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
         "weighted_sample_documents": _weighted_sample_documents,
@@ -2617,6 +2653,40 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
             ),
             value_col="vsum", bucket_seconds=86400,
         ),
+        "buyers_intersect_except": """
+WITH early AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-06-01'
+),
+late AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+),
+u AS (
+  SELECT o_custkey, 'intersect' AS set_op
+  FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+  UNION ALL
+  SELECT o_custkey, 'except' AS set_op
+  FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+)
+SELECT set_op, c_mktsegment, COUNT(*) AS n_customers
+FROM u JOIN customer ON o_custkey = c_custkey
+GROUP BY set_op, c_mktsegment
+""",
+        "unpivot_lineitem_measures": """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+""",
         "k_anonymity_customer": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity", fromlist=["x"]
         ).k_anonymity_sql(

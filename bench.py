@@ -218,6 +218,8 @@ def main() -> None:
         "feature_ranking_lineitem",
         "k_anonymity_customer",
         "repeated_passages_documents",
+        "buyers_intersect_except",
+        "unpivot_lineitem_measures",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
