@@ -1607,6 +1607,16 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _aqp_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP: price mean/sum estimated from a 2% deterministic sample with
+    a 95% CI — reproducible approximate aggregates."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import aqp_mean_estimate
+
+    return aqp_mean_estimate(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", 0.02, "l_orderkey"
+    )
+
+
 def _buyers_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit set operators: customers ordering in BOTH halves of the
     order window (INTERSECT) vs only the early half (EXCEPT), counted
@@ -2157,6 +2167,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_events_halves": _w1_events_halves,
         "k_anonymity_customer": _k_anonymity_customer,
         "buyers_intersect_except": _buyers_intersect_except,
+        "aqp_mean_lineitem": _aqp_mean_lineitem,
         "unpivot_lineitem_measures": _unpivot_lineitem_measures,
         "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
@@ -2653,6 +2664,9 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
             ),
             value_col="vsum", bucket_seconds=86400,
         ),
+        "aqp_mean_lineitem": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.sampling", fromlist=["x"]
+        ).aqp_mean_estimate_sql("lineitem", "l_extendedprice", 0.02, "l_orderkey"),
         "buyers_intersect_except": """
 WITH early AS (
   SELECT DISTINCT o_custkey FROM orders

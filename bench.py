@@ -220,6 +220,7 @@ def main() -> None:
         "repeated_passages_documents",
         "buyers_intersect_except",
         "unpivot_lineitem_measures",
+        "aqp_mean_lineitem",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

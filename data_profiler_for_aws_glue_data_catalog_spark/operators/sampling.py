@@ -215,3 +215,89 @@ bumped AS (
 SELECT anchor_id, neg_id, j FROM bumped
 WHERE neg_id IN (SELECT CAST({id_col} AS BIGINT) FROM {table})
 """
+
+
+AQP_COLS = [
+    "n_sample", "sample_rate", "mean_est", "ci_low", "ci_high", "sum_est"
+]
+
+
+def aqp_mean_estimate(
+    df: DataFrame,
+    value_col: str,
+    rate: float = 0.01,
+    id_col: str = "l_orderkey",
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate-query-processing estimator: mean/sum of ``value_col``
+    from a deterministic hash sample, with the normal-approximation 95%
+    CI (±1.96·s/√n). The scan touches rate·|rows| — the classic AQP
+    trade: a 1% sample answers dashboard aggregates ~100x cheaper with
+    quantified error, and the DETERMINISTIC sample makes the estimate
+    reproducible run-to-run (no resample jitter between dashboard
+    refreshes).
+
+    CI uses the sample stddev (population formula over the sample, the
+    engine's decimal-exact moments); estimates are ROUND6'd fixed double
+    shapes. NOTE the id-hash sample is a cluster sample when ``id_col``
+    repeats (all rows of a sampled id enter) — pick the row-unique id
+    for row sampling.
+    """
+    s = deterministic_sample(df, rate, id_col, seed).where(
+        F.col(value_col).isNotNull()
+    )
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.expr(
+            f"cast(sum(try_cast({value_col} AS decimal(27,6))) AS double)"
+        ).alias("_s"),
+        F.expr(
+            f"cast(sum(try_cast({value_col} AS decimal(18,6))"
+            f" * try_cast({value_col} AS decimal(18,6))) AS double)"
+        ).alias("_s2"),
+    )
+    mean = "(_s / n_sample)"
+    var = f"greatest(_s2 / n_sample - {mean} * {mean}, 0.0)"
+    half = f"(1.96 * sqrt({var}) / sqrt(cast(n_sample AS double)))"
+    return agg.selectExpr(
+        "n_sample",
+        f"cast({rate!r} AS double) AS sample_rate",
+        f"cast({r6.format(x=mean)} AS double) AS mean_est",
+        f"cast({r6.format(x=f'{mean} - {half}')} AS double) AS ci_low",
+        f"cast({r6.format(x=f'{mean} + {half}')} AS double) AS ci_high",
+        f"cast({r6.format(x=f'_s / {rate!r}')} AS double) AS sum_est",
+    )
+
+
+def aqp_mean_estimate_sql(
+    table: str,
+    value_col: str,
+    rate: float = 0.01,
+    id_col: str = "l_orderkey",
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`aqp_mean_estimate` (same hash sample)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import sample_sql
+
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    mean = "(_s / n_sample)"
+    var = f"greatest(_s2 / n_sample - {mean} * {mean}, 0.0)"
+    half = f"(1.96 * sqrt({var}) / sqrt(CAST(n_sample AS DOUBLE)))"
+    return f"""
+WITH s AS ({sample_sql(rate, table, id_col, seed)}),
+agg AS (
+  SELECT COUNT(*) AS n_sample,
+    CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS _s,
+    CAST(SUM(CAST({value_col} AS DECIMAL(19,6))
+      * CAST({value_col} AS DECIMAL(19,6))) AS DOUBLE) AS _s2
+  FROM s WHERE {value_col} IS NOT NULL
+)
+SELECT n_sample,
+  CAST({rate!r} AS DOUBLE) AS sample_rate,
+  CAST({r6.format(x=mean)} AS DOUBLE) AS mean_est,
+  CAST({r6.format(x=f'{mean} - {half}')} AS DOUBLE) AS ci_low,
+  CAST({r6.format(x=f'{mean} + {half}')} AS DOUBLE) AS ci_high,
+  CAST({r6.format(x=f'_s / {rate!r}')} AS DOUBLE) AS sum_est
+FROM agg
+"""

@@ -102,3 +102,23 @@ def test_negative_pairs_properties(spark):
     # deterministic: same input -> same pairs
     again = negative_pairs(df, k=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_aqp_estimate_near_truth(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import aqp_mean_estimate
+
+    df = spark.range(100000).select(
+        F.col("id").alias("l_orderkey"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    r = aqp_mean_estimate(df, "v", rate=0.05, id_col="l_orderkey").collect()[0]
+    true_mean = 499.5
+    assert r["ci_low"] <= r["mean_est"] <= r["ci_high"]
+    # estimate within a loose band of truth, CI not degenerate
+    assert abs(r["mean_est"] - true_mean) < 50
+    assert 0 < (r["ci_high"] - r["ci_low"]) < 60
+    # deterministic: re-run gives identical estimates
+    again = aqp_mean_estimate(df, "v", rate=0.05, id_col="l_orderkey").collect()[0]
+    assert again["mean_est"] == r["mean_est"] and again["n_sample"] == r["n_sample"]
