@@ -821,6 +821,13 @@ def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
 
 
+def _funnel_times_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel velocity: exact median/mean seconds between steps."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel_step_times
+
+    return funnel_step_times(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
 def _funnel_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel_summary
 
@@ -1607,6 +1614,14 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _curriculum_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order assignment: quality deciles + deterministic
+    within-band shuffle keys, all map-side after the edge collect."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.corpus import curriculum_assign
+
+    return curriculum_assign(_t(spark, sf_dir, "documents"))
+
+
 def _aqp_mean_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AQP: price mean/sum estimated from a 2% deterministic sample with
     a 95% CI — reproducible approximate aggregates."""
@@ -2008,6 +2023,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_orders": _psi_orders,
         "funnel_events": _funnel_events,
         "funnel_summary_events": _funnel_summary_events,
+        "funnel_times_events": _funnel_times_events,
         "cohort_retention_events": _cohort_retention_events,
         "join_size_orders_lineitem": _join_size_orders_lineitem,
         "trending_events": _trending_events,
@@ -2168,6 +2184,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customer": _k_anonymity_customer,
         "buyers_intersect_except": _buyers_intersect_except,
         "aqp_mean_lineitem": _aqp_mean_lineitem,
+        "curriculum_documents": _curriculum_documents,
         "unpivot_lineitem_measures": _unpivot_lineitem_measures,
         "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
@@ -2342,6 +2359,9 @@ SELECT * FROM (VALUES
             "SELECT * FROM orders WHERE o_orderstatus = 'O'",
             PSI_COLS_ORDERS,
         ),
+        "funnel_times_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.funnel", fromlist=["x"]
+        ).funnel_step_times_sql("events", FUNNEL_STEPS),
         "funnel_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.funnel", fromlist=["x"]
         ).funnel_sql("events", FUNNEL_STEPS),
@@ -2664,6 +2684,9 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
             ),
             value_col="vsum", bucket_seconds=86400,
         ),
+        "curriculum_documents": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.corpus", fromlist=["x"]
+        ).curriculum_assign_sql(),
         "aqp_mean_lineitem": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.sampling", fromlist=["x"]
         ).aqp_mean_estimate_sql("lineitem", "l_extendedprice", 0.02, "l_orderkey"),

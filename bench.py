@@ -221,6 +221,8 @@ def main() -> None:
         "buyers_intersect_except",
         "unpivot_lineitem_measures",
         "aqp_mean_lineitem",
+        "funnel_times_events",
+        "curriculum_documents",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

@@ -61,3 +61,82 @@ def clean_corpus(
         .where(F.col("_keep"))
         .drop("_keep")
     )
+
+
+CURRICULUM_COLS = ["doc_id", "quality", "band", "shuffle_key"]
+
+
+def curriculum_assign(
+    docs: DataFrame,
+    n_bands: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Curriculum/training-order assignment: each document gets its
+    quality BAND (equal-population deciles of the engine's quality
+    score, exact quantile edges) and a deterministic SHUFFLE KEY
+    (seeded md5 uniform) — a curriculum dataloader consumes bands in
+    order, shuffled within band by the key.
+
+    Everything after the one-row edge collection is MAP-SIDE: no global
+    sort ever happens — ordering materializes when the writer does
+    ``repartition(band).sortWithinPartitions(shuffle_key)``, which is
+    a per-band local sort, not a cluster-wide one. Reproducible:
+    (id, seed) fixes the shuffle key, data fixes the band edges.
+    """
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.text_analysis import quality_score
+
+    q = quality_score(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col("quality")
+    )
+    probs = [i / n_bands for i in range(1, n_bands)]
+    edges = q.agg(
+        F.expr(
+            f"percentile(quality, array({', '.join(repr(p) for p in probs)}))"
+        ).alias("e")
+    ).first()["e"]
+    band = F.lit(0)
+    for e in edges:
+        band = band + (F.col("quality") > F.lit(float(e))).cast("int")
+    h = f"md5(concat('{seed}|', cast(doc_id AS string)))"
+    skey = f"cast(conv(substring({h}, 1, 8), 16, 10) AS bigint)"
+    return q.select(
+        "doc_id",
+        "quality",
+        band.alias("band"),
+        F.expr(skey).alias("shuffle_key"),
+    )
+
+
+def curriculum_assign_sql(
+    table: str = "documents",
+    n_bands: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`curriculum_assign`."""
+    from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import quality_score_sql
+
+    probs = ", ".join(repr(i / n_bands) for i in range(1, n_bands))
+    band = " + ".join(
+        f"(CASE WHEN quality > e[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(n_bands - 1)
+    )
+    h = f"md5('{seed}|' || CAST(doc_id AS VARCHAR))"
+    hexs = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{hexs}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS doc_id, quality
+  FROM ({quality_score_sql(table, text_col, id_col)})
+),
+edges AS (SELECT quantile_cont(quality, [{probs}]) AS e FROM q)
+SELECT doc_id, quality, ({band}) AS band,
+  CAST({terms} AS BIGINT) AS shuffle_key
+FROM q CROSS JOIN edges
+"""

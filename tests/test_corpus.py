@@ -34,3 +34,20 @@ def test_clean_corpus_single_shuffle(spark):
     p = plan_str(clean_corpus(_docs(spark)), "simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_curriculum_bands_balanced_and_deterministic(documents):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.corpus import curriculum_assign
+
+    out = curriculum_assign(documents, n_bands=5)
+    rows = out.collect()
+    n = len(rows)
+    per_band = {}
+    for r in rows:
+        per_band.setdefault(r["band"], []).append(r)
+    assert set(per_band) <= set(range(5))
+    # equal-population up to quality ties
+    sizes = [len(v) for v in per_band.values()]
+    assert max(sizes) - min(sizes) <= max(5, n // 5)
+    again = {r["doc_id"]: r["shuffle_key"] for r in curriculum_assign(documents, n_bands=5).collect()}
+    assert all(again[r["doc_id"]] == r["shuffle_key"] for r in rows)

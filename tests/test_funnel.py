@@ -74,3 +74,26 @@ def test_one_shuffle(spark, lineitem):
     df = _ev(spark, [(i % 5, i, "view") for i in range(100)])
     plan = FN.funnel(df, STEPS)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_step_times_values(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel_step_times
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: view -> click (+60s) -> purchase (+120s)
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(seconds=60), 1, "click"),
+        (3, t0 + dt.timedelta(seconds=180), 1, "purchase"),
+        # user 2: view -> click (+100s), no purchase
+        (4, t0, 2, "view"), (5, t0 + dt.timedelta(seconds=100), 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["step"]: r for r in
+           funnel_step_times(df, ["view", "click", "purchase"]).collect()}
+    assert out[2]["n_entities"] == 2 and out[2]["stage"] == "click"
+    assert out[2]["median_gap_s"] == 80.0  # median of {60, 100}
+    assert out[3]["n_entities"] == 1 and out[3]["median_gap_s"] == 120.0
