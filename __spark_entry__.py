@@ -1614,6 +1614,15 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _wow_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value change per event type."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.trend import period_over_period
+
+    return period_over_period(
+        _t(spark, sf_dir, "events"), "ts", "value", "event_type"
+    )
+
+
 def _curriculum_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-order assignment: quality deciles + deterministic
     within-band shuffle keys, all map-side after the edge collect."""
@@ -2185,6 +2194,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buyers_intersect_except": _buyers_intersect_except,
         "aqp_mean_lineitem": _aqp_mean_lineitem,
         "curriculum_documents": _curriculum_documents,
+        "wow_change_events": _wow_change_events,
         "unpivot_lineitem_measures": _unpivot_lineitem_measures,
         "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
@@ -2684,6 +2694,9 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
             ),
             value_col="vsum", bucket_seconds=86400,
         ),
+        "wow_change_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.trend", fromlist=["x"]
+        ).period_over_period_sql("events", "ts", "value", "event_type"),
         "curriculum_documents": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.corpus", fromlist=["x"]
         ).curriculum_assign_sql(),

@@ -223,6 +223,7 @@ def main() -> None:
         "aqp_mean_lineitem",
         "funnel_times_events",
         "curriculum_documents",
+        "wow_change_events",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

@@ -24,7 +24,7 @@ Scale notes (100 TB): both shuffles combine map-side; entities with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
@@ -123,4 +123,97 @@ SELECT entity, n AS n_points,
   CAST({ROUND6.format(x=f'({slope}) * 86400.0')} AS DOUBLE) AS slope_per_day,
   CAST({ROUND6.format(x=intercept)} AS DOUBLE) AS intercept
 FROM sums
+"""
+
+
+WOW_COLS = [
+    "key", "week_start", "n_events", "vsum", "prev_vsum", "wow_pct"
+]
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Period-over-period change per key: bucketed decimal sums + a lag
+    window = the WoW/MoM dashboard column. wow_pct is NULL for a key's
+    first bucket and when the previous sum is 0 (no sign-ambiguous
+    division).
+
+    One bucket-grouped shuffle; the lag runs over the tiny per-key
+    bucket relation. Buckets are epoch-aligned (UTC) like every window
+    in the engine.
+    """
+    base = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("key"),
+        (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+            * bucket_seconds
+        ).cast("long").alias("_wk"),
+        F.col(value_col).alias("v"),
+    )
+    buck = base.groupBy("key", "_wk").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "cast(sum(try_cast(v AS decimal(27,6))) AS double)"
+        ).alias("vsum"),
+    )
+    w = Window.partitionBy("key").orderBy("_wk")
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return (
+        buck.withColumn("prev_vsum", F.lag("vsum").over(w))
+        .selectExpr(
+            "key",
+            "timestamp_seconds(_wk) AS week_start",
+            "n_events",
+            "vsum",
+            "prev_vsum",
+            f"CASE WHEN prev_vsum IS NOT NULL AND prev_vsum <> 0.0 THEN "
+            f"cast({r6.format(x='100.0 * (vsum - prev_vsum) / prev_vsum')}"
+            f" AS double) END AS wow_pct",
+        )
+    )
+
+
+def period_over_period_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> str:
+    """DuckDB mirror of :func:`period_over_period`."""
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH base AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key,
+    CAST(floor(floor(epoch({ts_col})) / {bucket_seconds}) AS BIGINT)
+      * {bucket_seconds} AS _wk,
+    {value_col} AS v
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+),
+buck AS (
+  SELECT key, _wk, COUNT(*) AS n_events,
+    CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS vsum
+  FROM base GROUP BY key, _wk
+),
+lagged AS (
+  SELECT *, LAG(vsum) OVER (PARTITION BY key ORDER BY _wk) AS prev_vsum
+  FROM buck
+)
+SELECT key, CAST(to_timestamp(_wk) AS TIMESTAMP) AS week_start,
+  n_events, vsum, prev_vsum,
+  CASE WHEN prev_vsum IS NOT NULL AND prev_vsum <> 0.0 THEN
+    CAST({r6.format(x='100.0 * (vsum - prev_vsum) / prev_vsum')} AS DOUBLE)
+  END AS wow_pct
+FROM lagged
 """

@@ -73,3 +73,26 @@ def test_scd2_merge_kinds(spark):
     assert kinds[(4, "opened")].valid_from == "2024-02-01 00:00:00"
     assert kinds[(3, "closed")].name == "carol"
     assert len(got) == 5  # kept, closed+opened (id 2), closed (3), opened (4)
+
+
+def test_period_over_period_pct(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.trend import period_over_period
+
+    t0 = dt.datetime(2026, 1, 1)  # Thursday; weekly epoch buckets
+    rows = [
+        (1, t0, "k", 10.0),
+        (2, t0 + dt.timedelta(days=7), "k", 15.0),
+        (3, t0 + dt.timedelta(days=14), "k", 7.5),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = sorted(
+        period_over_period(df, "ts", "value", "event_type").collect(),
+        key=lambda r: r["week_start"],
+    )
+    assert out[0]["wow_pct"] is None
+    assert out[1]["wow_pct"] == 50.0
+    assert out[2]["wow_pct"] == -50.0
