@@ -1614,6 +1614,19 @@ def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: which nations cover 80% of order value."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.segments import pareto_analysis
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return pareto_analysis(joined, "c_nationkey", "o_totalprice")
+
+
 def _wow_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week value change per event type."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.trend import period_over_period
@@ -2195,6 +2208,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aqp_mean_lineitem": _aqp_mean_lineitem,
         "curriculum_documents": _curriculum_documents,
         "wow_change_events": _wow_change_events,
+        "pareto_customers": _pareto_customers,
         "unpivot_lineitem_measures": _unpivot_lineitem_measures,
         "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
@@ -2693,6 +2707,13 @@ FROM size_t s JOIN comp c ON s.table_name = c.table_name
                 "ts", "value", "event_type", "event_id", 86400,
             ),
             value_col="vsum", bucket_seconds=86400,
+        ),
+        "pareto_customers": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.segments", fromlist=["x"]
+        ).pareto_analysis_sql(
+            "(SELECT o_totalprice, c_nationkey FROM orders"
+            " JOIN customer ON o_custkey = c_custkey) _j",
+            "c_nationkey", "o_totalprice",
         ),
         "wow_change_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.trend", fromlist=["x"]

@@ -224,6 +224,7 @@ def main() -> None:
         "funnel_times_events",
         "curriculum_documents",
         "wow_change_events",
+        "pareto_customers",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

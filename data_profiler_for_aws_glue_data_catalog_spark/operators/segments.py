@@ -16,7 +16,7 @@ keys; output is |segments| rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
@@ -75,4 +75,98 @@ SELECT segment, n,
   CAST({ROUND6.format(x=f"ABS(({seg_mean}) - ({overall_mean}))")} AS DOUBLE) AS abs_diff,
   CAST({ROUND6.format(x=f"ABS(({seg_mean}) - ({overall_mean})) / ABS({overall_mean})")} AS DOUBLE) AS rel_diff
 FROM segs CROSS JOIN overall
+"""
+
+
+PARETO_COLS = [
+    "key", "ksum", "share", "cum_share", "rank", "in_top80"
+]
+
+
+def pareto_analysis(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Concentration (80/20) analysis: per key its value share, the
+    cumulative share in descending-contribution order, and whether the
+    key belongs to the minimal prefix covering 80% of the total.
+
+    One keyed shuffle builds decimal-exact key sums; the cumulative
+    window runs over the DISTINCT-KEY relation (segment cardinality —
+    small by construction for segment/tenant/source keys; for high-
+    cardinality keys pair with topk.py instead). Deterministic order:
+    contribution DESC, key ASC; shares are fixed-shape ROUND6 doubles.
+    ``in_top80`` includes the boundary key that crosses 0.8 (ceiling
+    semantics: the minimal covering prefix).
+    """
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    sums = (
+        df.where(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(
+            F.expr(
+                f"cast(sum(try_cast({value_col} AS decimal(27,6))) AS double)"
+            ).alias("ksum")
+        )
+    )
+    tot = sums.agg(
+        F.expr(
+            "cast(sum(try_cast(ksum AS decimal(27,6))) AS double)"
+        ).alias("_t")
+    )
+    w = Window.orderBy(F.desc("ksum"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wr = Window.orderBy(F.desc("ksum"), F.asc("key"))
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_cum",
+            F.sum(F.expr("try_cast(ksum AS decimal(27,6))"))
+            .over(w)
+            .cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .selectExpr(
+            "key",
+            "ksum",
+            f"cast({r6.format(x='ksum / _t')} AS double) AS share",
+            f"cast({r6.format(x='_cum / _t')} AS double) AS cum_share",
+            "rank",
+            # minimal covering prefix: everything BEFORE this key covers
+            # < 0.8 of the total
+            f"cast({r6.format(x='(_cum - ksum) / _t')} AS double) < 0.8"
+            " AS in_top80",
+        )
+        .select(*PARETO_COLS)
+    )
+
+
+def pareto_analysis_sql(table: str, key_col: str, value_col: str) -> str:
+    """DuckDB mirror of :func:`pareto_analysis`."""
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH sums AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key,
+    CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS ksum
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(ksum AS DECIMAL(27,6))) AS DOUBLE) AS _t FROM sums),
+cum AS (
+  SELECT key, ksum, _t,
+    CAST(SUM(CAST(ksum AS DECIMAL(27,6))) OVER (
+      ORDER BY ksum DESC, key ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      AS _cum,
+    CAST(row_number() OVER (ORDER BY ksum DESC, key ASC) AS INT) AS rank
+  FROM sums CROSS JOIN tot
+)
+SELECT key, ksum,
+  CAST({r6.format(x='ksum / _t')} AS DOUBLE) AS share,
+  CAST({r6.format(x='_cum / _t')} AS DOUBLE) AS cum_share,
+  rank,
+  CAST({r6.format(x='(_cum - ksum) / _t')} AS DOUBLE) < 0.8 AS in_top80
+FROM cum
 """

@@ -73,3 +73,17 @@ def test_trending_keys_per_window(spark):
     assert got[("2026-01-02 00:00:00", 1)] == ("b", 4)
     assert got[("2026-01-02 00:00:00", 2)] == ("a", 1)
     assert len(got) == 4  # k=2 caps each window
+
+
+def test_pareto_analysis_concentration(spark):
+    from pyspark.sql import functions as F
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.segments import pareto_analysis
+
+    rows = [("a", 80.0)] + [("b", 10.0)] + [("c", 6.0)] + [("d", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["key"]: r for r in pareto_analysis(df, "k", "v").collect()}
+    assert out["a"]["rank"] == 1 and out["a"]["share"] == 0.8
+    assert out["a"]["in_top80"] is True      # boundary key included
+    assert out["b"]["in_top80"] is False     # prefix before b already >= 0.8
+    assert out["d"]["cum_share"] == 1.0
