@@ -1991,6 +1991,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda e: D.embedding_near_duplicates(e, n_cells=None)
         ),
         "dedup_eval_lsh": _docs_op(D.dedup_eval),
+        "dedup_incremental_lsh": _docs_op(
+            lambda d: D.minhash_lsh_incremental(d, F.col("doc_id") % 4 == 0)
+        ),
         "dedup_resolve_clusters": _docs_op(
             lambda d: __import__(
                 "data_profiler_for_aws_glue_data_catalog_spark.operators.dup_clusters", fromlist=["x"]
@@ -2285,6 +2288,11 @@ def _extension_oracles() -> dict[str, str]:
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "knn_join_embeddings": OX.knn_join_sql(),
         "dedup_eval_lsh": OX.dedup_eval_sql(),
+        "dedup_incremental_lsh": (
+            "SELECT doc_a, doc_b, jaccard FROM ("
+            + OX.minhash_lsh_near_duplicates_sql()
+            + ") WHERE doc_a % 4 = 0 OR doc_b % 4 = 0"
+        ),
         "truncation_recall_embeddings": OX.truncation_recall_sql(ANN_QUERY_IDS),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),

@@ -225,6 +225,7 @@ def main() -> None:
         "curriculum_documents",
         "wow_change_events",
         "pareto_customers",
+        "dedup_incremental_lsh",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

@@ -454,3 +454,69 @@ def dedup_eval(
         f"cast({r6.format(x='CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS double)"
         " AS recall",
     )
+
+
+def minhash_lsh_incremental(
+    docs: DataFrame,
+    is_new: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 12,
+    n_bands: int = 6,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs involving at least one NEW
+    document — the daily-ingest shape at 100 TB, where re-running the
+    full self-join over the whole corpus is the thing you must never do.
+
+    Same deterministic MinHash/banding as
+    :func:`minhash_lsh_near_duplicates`, but the candidate join is
+    (new-doc bands) x (all bands): cost scales with |new| x collision
+    rate, not |corpus|^2. In production the right side is the PERSISTED
+    band index (signatures are append-only state — the incremental.py
+    state model applied to dedup); here both sides derive from one
+    corpus frame with ``is_new`` marking the increment. Result ==
+    the full run filtered to pairs touching a new doc (the oracle).
+    """
+    assert n_hashes == n_bands * rows_per_band
+    base = _shingle_sets(docs, text_col, id_col, n)
+    h32 = F.pmod(F.col("h"), F.lit(X.M32).cast("bigint"))
+    sig = materialize(
+        base.select("id", F.explode("sh").alias("h"))
+        .groupBy("id")
+        .agg(*X.minhash_agg_exprs(h32, n_hashes))
+        .select(
+            "id", F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig")
+        )
+    )
+    keyed = sig.select(
+        "id", F.explode(X.band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    )
+    new_ids = docs.where(is_new).select(F.col(id_col).alias("id")).distinct()
+    new_keyed = keyed.join(F.broadcast(new_ids), "id", "leftsemi")
+    a, b = new_keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = base.select("id", "sh", "sz")
+    verified = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _pair_jaccard(
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))),
+                F.col("sa.sz"),
+                F.col("sb.sz"),
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)

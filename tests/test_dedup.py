@@ -166,3 +166,24 @@ def test_dedup_eval_confusion_identity(documents):
         assert 0.0 <= r["precision"] <= 1.0
     if r["n_truth"]:
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_incremental_lsh_equals_filtered_full_run(documents):
+    from pyspark.sql import functions as F
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_near_duplicates,
+    )
+
+    is_new = F.col("doc_id") % 4 == 0
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_incremental(documents, is_new).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_near_duplicates(documents).collect()
+        if r["doc_a"] % 4 == 0 or r["doc_b"] % 4 == 0
+    }
+    assert inc == full
