@@ -342,9 +342,17 @@ def sliding_window_counts(
     value_col: str = "value",
     window_duration: str = "2 hours",
     slide_duration: str = "1 hour",
+    exact_users: bool = True,
 ) -> DataFrame:
     """Overlapping (sliding) window aggregates per key — the trailing-2h
     dashboard view refreshed hourly.
+
+    ``exact_users=False`` swaps the exact distinct for HLL++
+    ApproxCountDistinct — REQUIRED for the streaming form (Structured
+    Streaming rejects distinct aggregations; the sketch merges
+    associatively into window state) and the windowed_profile policy for
+    stream scale generally. The HLL estimate is deterministic for a
+    given input, so streaming and batch approx runs agree exactly.
 
     ``F.window(ts, window, slide)`` plans ONE Expand that replicates each
     row into its window/slide memberships (here 2x) before a single
@@ -368,7 +376,11 @@ def sliding_window_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct(F.col(entity_col)).alias("n_users"),
+            (
+                F.countDistinct(F.col(entity_col))
+                if exact_users
+                else F.approx_count_distinct(F.col(entity_col))
+            ).alias("n_users"),
             F.sum(F.expr(f"try_cast({value_col} AS decimal(27,6))"))
             .cast("double")
             .alias("vsum"),

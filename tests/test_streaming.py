@@ -276,3 +276,42 @@ def test_sliding_window_membership(spark):
         dt.datetime(2026, 1, 1, 10, 0, 0),
     ]
     assert all(r["n_events"] == 1 and r["vsum"] == 2.0 for r in rows)
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """sliding_window_counts is one expression tree: under readStream +
+    watermark it must emit exactly the batch result once exhausted."""
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.streaming.windowed_profile import (
+        sliding_window_counts,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=17 * i), i % 3, "k" if i % 2 else "j", float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "sw_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src).withWatermark(
+        "ts", "1 minute"
+    )
+    out = sliding_window_counts(stream, exact_users=False)
+    q = (
+        out.writeStream.format("memory").queryName("sw_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["key"]): (r["n_events"], r["n_users"], r["vsum"])
+        for r in spark.table("sw_t").collect()
+    }
+    want = {
+        (r["window_start"], r["key"]): (r["n_events"], r["n_users"], r["vsum"])
+        for r in sliding_window_counts(df, exact_users=False).collect()
+    }
+    assert got == want and len(got) > 0
