@@ -1722,6 +1722,38 @@ def _repeated_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_THRESHOLDS = {"ks": 0.1, "w1": 5.0, "jsd": 0.1}
+
+
+def _drift_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CI-style drift gate: KS + Wasserstein on events.value and JSD on
+    the event mix, each against a declared threshold, as ONE long
+    verdict relation — the single table a pipeline gate reads."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.divergence import js_divergence, ks_statistic
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 2 == 0)
+    right = ev.where(F.col("event_id") % 2 == 1)
+
+    def row(df, metric, col):
+        thr = DRIFT_THRESHOLDS[metric]
+        return df.select(
+            F.lit(metric).alias("metric"),
+            F.col(col).alias("value"),
+            F.lit(thr).alias("threshold"),
+            (F.col(col) > thr).alias("breach"),
+        )
+
+    return (
+        row(ks_statistic(left, right, "value"), "ks", "ks")
+        .unionByName(row(wasserstein_1d(left, right, "value"), "w1", "w1"))
+        .unionByName(
+            row(js_divergence(left, right, "event_type"), "jsd", "jsd")
+        )
+    )
+
+
 def _w1_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein drift on events.value, same halves as the KS."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein import wasserstein_1d
@@ -2206,6 +2238,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_halves": _ks_events_halves,
         "changepoint_events": _changepoint_events,
         "w1_events_halves": _w1_events_halves,
+        "drift_gate_events": _drift_gate_events,
         "k_anonymity_customer": _k_anonymity_customer,
         "buyers_intersect_except": _buyers_intersect_except,
         "aqp_mean_lineitem": _aqp_mean_lineitem,
@@ -2791,6 +2824,29 @@ SELECT h, n_docs, n_occurrences FROM spread WHERE n_docs > 1
 ORDER BY n_docs DESC, n_occurrences DESC, h ASC LIMIT 50
 """
         )(__import__("data_profiler_for_aws_glue_data_catalog_spark.oracle_ext", fromlist=["x"])),
+        "drift_gate_events": (lambda DV, WS: """
+SELECT 'ks' AS metric, ks AS value, 0.1 AS threshold, ks > 0.1 AS breach
+FROM (""" + DV.ks_statistic_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT * FROM events WHERE event_id % 2 = 1",
+            "value",
+        ) + """)
+UNION ALL
+SELECT 'w1', w1, 5.0, w1 > 5.0 FROM (""" + WS.wasserstein_1d_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT * FROM events WHERE event_id % 2 = 1",
+            "value",
+        ) + """)
+UNION ALL
+SELECT 'jsd', jsd, 0.1, jsd > 0.1 FROM (""" + DV.js_divergence_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT * FROM events WHERE event_id % 2 = 1",
+            "event_type",
+        ) + """)
+""")(
+            __import__("data_profiler_for_aws_glue_data_catalog_spark.operators.divergence", fromlist=["x"]),
+            __import__("data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein", fromlist=["x"]),
+        ),
         "w1_events_halves": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.wasserstein", fromlist=["x"]
         ).wasserstein_1d_sql(

@@ -226,6 +226,7 @@ def main() -> None:
         "wow_change_events",
         "pareto_customers",
         "dedup_incremental_lsh",
+        "drift_gate_events",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

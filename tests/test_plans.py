@@ -230,3 +230,17 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     p = plan_str(back)
     assert "PartitionFilters" in p and "2026-01-03" in p
     assert back.count() == 20
+
+
+def test_incremental_dedup_restricts_candidate_side(documents):
+    """The incremental LSH candidate join must take only NEW-doc bands on
+    the probe side (broadcast semi join on the new-id set) — never the
+    full self-join."""
+    from pyspark.sql import functions as F
+
+    p = plan_str(
+        D.minhash_lsh_incremental(documents, F.col("doc_id") % 4 == 0)
+    )
+    assert "LeftSemi" in p  # the new-id restriction
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
