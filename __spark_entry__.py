@@ -2248,6 +2248,9 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_measures": _unpivot_lineitem_measures,
         "repeated_passages_documents": _repeated_passages_documents,
         "zscore_events": _zscore_events,
+        "ab_compare_events": lambda spark, sf_dir: __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.zscore", fromlist=["x"]
+        ).ab_compare(_t(spark, sf_dir, "events"), "value", "user_id"),
         "weighted_sample_documents": _weighted_sample_documents,
         "calibration_documents": _calibration_documents,
         "auc_documents": _auc_documents,
@@ -2854,6 +2857,9 @@ SELECT 'jsd', jsd, 0.1, jsd > 0.1 FROM (""" + DV.js_divergence_sql(
             "SELECT * FROM events WHERE event_id % 2 = 1",
             "value",
         ),
+        "ab_compare_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.zscore", fromlist=["x"]
+        ).ab_compare_sql("events", "value", "user_id"),
         "zscore_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.zscore", fromlist=["x"]
         ).zscore_normalize_sql("events", "value", "event_type", "event_id"),
@@ -3036,6 +3042,10 @@ def _tpch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": op(T.q6_forecast_revenue, "lineitem"),
         "q7_volume_shipping": op(
             T.q7_volume_shipping, "supplier", "lineitem", "orders", "customer", "nation"
+        ),
+        "q8_market_share": op(
+            T.q8_market_share,
+            "customer", "orders", "lineitem", "supplier", "nation", "region",
         ),
         "q10_returned_items": op(
             T.q10_returned_items, "customer", "orders", "lineitem", "nation"

@@ -227,6 +227,8 @@ def main() -> None:
         "pareto_customers",
         "dedup_incremental_lsh",
         "drift_gate_events",
+        "q8_market_share",
+        "ab_compare_events",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

@@ -577,6 +577,26 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """,
+        "q8_market_share": f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
+        THEN CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})
+        ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS nation_volume,
+  {rev} AS total_volume,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
+        THEN CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})
+        ELSE CAST(0 AS {DEC}) END) AS DOUBLE) / {rev} AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year
+ORDER BY o_year
+""",
         "q10_returned_items": f"""
 SELECT c_custkey, c_name, c_acctbal, n_name, {rev} AS revenue
 FROM lineitem
@@ -694,3 +714,64 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
     }
+
+
+def q8_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_9",
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Q8: the target nation's supplier share of regional revenue per
+    order year.
+
+    The nation dim enters twice (customer-region scoping vs supplier
+    nationality); the share is a conditional decimal sum over the same
+    joined relation — one star join, no second pass. Both numerator and
+    denominator surface as exact doubles, the ratio is the division of
+    the two (fixed shape).
+    """
+    nr = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = customer.join(
+        F.broadcast(nr), customer.c_nationkey == F.col("cn_key")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = _rev()
+    tgt = F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(tgt).cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .selectExpr(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            "nation_volume / total_volume AS mkt_share",
+        )
+        .orderBy("o_year")
+    )

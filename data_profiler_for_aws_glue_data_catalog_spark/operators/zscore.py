@@ -97,3 +97,87 @@ SELECT b.group_key, b.id, b.value,
        THEN CAST({ROUND6.format(x=z)} AS DOUBLE) END AS z
 FROM base b JOIN stats USING (group_key)
 """
+
+
+AB_COLS = [
+    "arm", "n", "mean", "ci_low", "ci_high"
+]
+
+
+def ab_compare(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    assign_rate: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic A/B comparison scaffold: units assign to arms by the
+    engine's id-hash split (reproducible, no assignment churn between
+    analysis runs), each arm reports n / decimal-exact mean / normal 95%
+    CI. Pair with ks_statistic / wasserstein_1d on the two arm frames
+    for distributional tests — this is the topline means table.
+
+    One scan, one grouped aggregate; the CI uses population variance
+    from the same decimal moments as zscore_normalize.
+    """
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.sampling import _threshold, hash_bucket
+
+    arm = F.when(
+        hash_bucket(F.col(id_col), seed) < _threshold(assign_rate), "treatment"
+    ).otherwise("control")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        arm.alias("arm"), F.col(value_col).cast("double").alias("value")
+    )
+    stats = base.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"cast(sum(try_cast(value AS {DEC})) AS double)").alias("_s"),
+        F.expr(
+            "cast(sum(try_cast(value AS decimal(18,6))"
+            " * try_cast(value AS decimal(18,6))) AS double)"
+        ).alias("_s2"),
+    )
+    mean = "(_s / n)"
+    var = f"greatest(_s2 / n - {mean} * {mean}, 0.0)"
+    half = f"(1.96 * sqrt({var}) / sqrt(cast(n AS double)))"
+    return stats.selectExpr(
+        "arm",
+        "n",
+        f"cast({ROUND6.format(x=mean)} AS double) AS mean",
+        f"cast({ROUND6.format(x=f'{mean} - {half}')} AS double) AS ci_low",
+        f"cast({ROUND6.format(x=f'{mean} + {half}')} AS double) AS ci_high",
+    )
+
+
+def ab_compare_sql(
+    table: str,
+    value_col: str,
+    id_col: str,
+    assign_rate: float = 0.5,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`ab_compare` (same hash assignment)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import _bucket_sql, _threshold
+
+    mean = "(_s / n)"
+    var = f"greatest(_s2 / n - {mean} * {mean}, 0.0)"
+    half = f"(1.96 * sqrt({var}) / sqrt(CAST(n AS DOUBLE)))"
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN {_bucket_sql(id_col, seed)} < {_threshold(assign_rate)}
+         THEN 'treatment' ELSE 'control' END AS arm,
+    CAST({value_col} AS DOUBLE) AS value
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+stats AS (
+  SELECT arm, COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
+    CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+         AS DOUBLE) AS _s2
+  FROM base GROUP BY arm
+)
+SELECT arm, n,
+  CAST({ROUND6.format(x=mean)} AS DOUBLE) AS mean,
+  CAST({ROUND6.format(x=f'{mean} - {half}')} AS DOUBLE) AS ci_low,
+  CAST({ROUND6.format(x=f'{mean} + {half}')} AS DOUBLE) AS ci_high
+FROM stats
+"""

@@ -89,3 +89,15 @@ def test_q22_anti_join_plan(t):
     assert "LeftAnti" in p
     total = t["customer"].count()
     assert 0 < df.agg(F.sum("numcust")).collect()[0][0] < total
+
+
+def test_q8_share_bounds(t):
+    df = T.q8_market_share(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"],
+        t["nation"], t["region"],
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["nation_volume"] <= r["total_volume"]

@@ -42,3 +42,21 @@ def test_zscore_group_standardization(spark):
     assert abs(max(zs) + min(zs)) < 1e-6  # symmetric
     b = [r for r in out.collect() if r["group_key"] == "b"]
     assert all(r["z"] is None for r in b)  # zero-variance -> NULL
+
+
+def test_ab_compare_arms(spark):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.zscore import ab_compare
+
+    df = spark.range(10000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    rows = {r["arm"]: r for r in ab_compare(df, "v", "user_id").collect()}
+    assert set(rows) == {"treatment", "control"}
+    total = rows["treatment"]["n"] + rows["control"]["n"]
+    assert total == 10000
+    assert 0.4 < rows["treatment"]["n"] / total < 0.6  # ~50/50 split
+    for r in rows.values():
+        assert r["ci_low"] <= r["mean"] <= r["ci_high"]
+    # deterministic assignment: identical on re-run
+    again = {r["arm"]: r["n"] for r in ab_compare(df, "v", "user_id").collect()}
+    assert again == {k: v["n"] for k, v in rows.items()}
