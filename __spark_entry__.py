@@ -1725,6 +1725,20 @@ def _repeated_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIFT_THRESHOLDS = {"ks": 0.1, "w1": 5.0, "jsd": 0.1}
 
 
+ALLOWED_TRANSITIONS = [
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+]
+
+
+def _transition_conformance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle conformance: observed user-journey transitions vs the
+    declared state machine (gate reads WHERE NOT allowed)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.transitions import transition_conformance
+
+    return transition_conformance(_t(spark, sf_dir, "events"), ALLOWED_TRANSITIONS)
+
+
 def _drift_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CI-style drift gate: KS + Wasserstein on events.value and JSD on
     the event mix, each against a declared threshold, as ONE long
@@ -2034,6 +2048,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _embs_op(lambda e: S.cosine_topk(e, ANN_QUERY_IDS)),
         "ann_ivf_topk": _embs_op(lambda e: S.ivf_topk(e, ANN_QUERY_IDS)),
         "ann_lsh_topk": _embs_op(lambda e: S.lsh_topk(e, ANN_QUERY_IDS)),
+        "ivf_inertia_embeddings": _embs_op(S.ivf_inertia),
         "knn_join_embeddings": _embs_op(S.knn_join),
         "truncation_recall_embeddings": _embs_op(
             lambda e: S.truncation_recall(e, ANN_QUERY_IDS)
@@ -2239,6 +2254,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_events": _changepoint_events,
         "w1_events_halves": _w1_events_halves,
         "drift_gate_events": _drift_gate_events,
+        "transition_conformance_events": _transition_conformance_events,
         "k_anonymity_customer": _k_anonymity_customer,
         "buyers_intersect_except": _buyers_intersect_except,
         "aqp_mean_lineitem": _aqp_mean_lineitem,
@@ -2330,6 +2346,7 @@ def _extension_oracles() -> dict[str, str]:
             + ") WHERE doc_a % 4 = 0 OR doc_b % 4 = 0"
         ),
         "truncation_recall_embeddings": OX.truncation_recall_sql(ANN_QUERY_IDS),
+        "ivf_inertia_embeddings": OX.ivf_inertia_sql(),
         "ann_lsh_topk": OX.lsh_topk_sql(ANN_QUERY_IDS),
         "kmeans_step": OX.kmeans_step_sql(),
         "kmeans_train": OX.kmeans_train_sql(n_iters=2),
@@ -2827,6 +2844,9 @@ SELECT h, n_docs, n_occurrences FROM spread WHERE n_docs > 1
 ORDER BY n_docs DESC, n_occurrences DESC, h ASC LIMIT 50
 """
         )(__import__("data_profiler_for_aws_glue_data_catalog_spark.oracle_ext", fromlist=["x"])),
+        "transition_conformance_events": __import__(
+            "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
+        ).transition_conformance_sql("events", ALLOWED_TRANSITIONS),
         "drift_gate_events": (lambda DV, WS: """
 SELECT 'ks' AS metric, ks AS value, 0.1 AS threshold, ks > 0.1 AS breach
 FROM (""" + DV.ks_statistic_sql(

@@ -229,6 +229,8 @@ def main() -> None:
         "drift_gate_events",
         "q8_market_share",
         "ab_compare_events",
+        "ivf_inertia_embeddings",
+        "transition_conformance_events",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —

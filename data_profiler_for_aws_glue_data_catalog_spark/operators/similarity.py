@@ -404,3 +404,47 @@ def truncation_recall(
             " AS recall",
         )
     )
+
+
+INERTIA_COLS = ["cell", "n_vectors", "mean_cos_to_centroid", "min_cos"]
+
+
+def ivf_inertia(
+    embs: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantizer quality report: per IVF cell, member count and the
+    mean/min cosine of members to their centroid — the "inertia" view
+    that tells you when to retrain centroids or split hot cells (low
+    mean cosine = a cell too coarse for reliable ANN recall).
+
+    One assignment pass (map-side argmax over the literal centroids) +
+    one groupBy(cell); cosines reuse the engine's ROUND6'd kernel, the
+    mean accumulates as exact decimals.
+    """
+    e = _normed(embs, vec_col, id_col)
+    cents = collect_centroids(e, n_cells)
+    assigned = assign_cells(e, cents)
+    carr = _centroid_array(cents)
+    pick = F.filter(carr, lambda c: c["cell"] == F.col("cell"))[0]
+    scored = assigned.select(
+        "cell",
+        _cos(F.col("_v"), F.col("_norm"), pick["cv"], pick["cn"]).alias("cos"),
+    )
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr(
+                "cast(" + r6.format(
+                    x="cast(sum(try_cast(cos AS decimal(27,6))) AS double)"
+                    " / count(cos)"
+                ) + " AS double)"
+            ).alias("mean_cos_to_centroid"),
+            F.min("cos").alias("min_cos"),
+        )
+        .select(*INERTIA_COLS)
+    )

@@ -182,3 +182,64 @@ FROM paths GROUP BY path
 ORDER BY n_occurrences DESC, path ASC
 LIMIT {k}
 """
+
+
+ILLEGAL_COLS = [
+    "from_state", "to_state", "n_transitions", "allowed"
+]
+
+
+def transition_conformance(
+    events: DataFrame,
+    allowed: list[tuple[str, str]],
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """State-machine conformance: every observed transition annotated
+    against the declared ALLOWED set — the lifecycle-integrity check
+    (an order must not jump shipped->created; a user must not purchase
+    before signup). Reuses the transition matrix (one lag window + one
+    groupBy); the whitelist is a broadcast literal relation.
+
+    Output: (from_state, to_state, n_transitions, allowed) for every
+    observed pair — the gate reads ``WHERE NOT allowed``.
+    """
+    tm = transition_matrix(events, entity_col, ts_col, state_col, id_col)
+    spark = events.sparkSession
+    wl = spark.createDataFrame(
+        [(a, b) for a, b in allowed], "from_state string, to_state string"
+    ).withColumn("_ok", F.lit(True))
+    return (
+        tm.join(F.broadcast(wl), ["from_state", "to_state"], "left_outer")
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            F.coalesce(F.col("_ok"), F.lit(False)).alias("allowed"),
+        )
+    )
+
+
+def transition_conformance_sql(
+    table: str,
+    allowed: list[tuple[str, str]],
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`transition_conformance`."""
+    wl = ", ".join(f"('{a}', '{b}')" for a, b in allowed)
+    return f"""
+WITH tm AS (
+  SELECT from_state, to_state, n_transitions
+  FROM ({transition_matrix_sql(table, entity_col, ts_col, state_col, id_col)})
+),
+wl AS (SELECT * FROM (VALUES {wl}) AS t(f, t2))
+SELECT from_state, to_state, n_transitions,
+  (wl.f IS NOT NULL) AS allowed
+FROM tm LEFT OUTER JOIN wl
+  ON tm.from_state = wl.f AND tm.to_state = wl.t2
+"""

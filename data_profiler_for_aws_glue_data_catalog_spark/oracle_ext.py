@@ -1275,3 +1275,36 @@ SELECT p.query_id, p.k, COALESCE(o.n_overlap, 0) AS n_overlap,
   CAST({r6('CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / p.k')} AS DOUBLE) AS recall
 FROM per_q p LEFT JOIN ov o ON p.query_id = o.query_id
 """
+
+
+def ivf_inertia_sql(
+    n_cells: int = 16,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle for similarity.ivf_inertia (same assignment + cosine)."""
+    acos = round6_sql(f"({dot_sql('n.v', 'c.cv')}) / (n.nrm * c.cn)")
+    mcos = round6_sql(f"({dot_sql('a.v', 'c.cv')}) / (a.nrm * c.cn)")
+    mean = round6_sql(
+        "CAST(SUM(CAST(cos AS DECIMAL(27,6))) AS DOUBLE) / COUNT(cos)"
+    )
+    return f"""
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
+assigned AS (
+  SELECT id, v, nrm, cell FROM (
+    SELECT n.id, n.v, n.nrm, c.cell,
+      row_number() OVER (PARTITION BY n.id ORDER BY {acos} DESC, c.cell ASC) AS rn
+    FROM n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.cell, CAST({mcos} AS DOUBLE) AS cos
+  FROM assigned a JOIN cents c ON a.cell = c.cell
+)
+SELECT cell, COUNT(*) AS n_vectors,
+  CAST({mean} AS DOUBLE) AS mean_cos_to_centroid,
+  MIN(cos) AS min_cos
+FROM scored GROUP BY cell
+"""

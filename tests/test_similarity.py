@@ -197,3 +197,12 @@ def test_truncation_recall_bounded(embeddings):
     rows = truncation_recall(embeddings, [0, 1], dim=4, k=5).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["n_overlap"] <= r["k"] for r in rows)
+
+
+def test_ivf_inertia_bounds(embeddings):
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import ivf_inertia
+
+    rows = ivf_inertia(embeddings, n_cells=8).collect()
+    assert sum(r["n_vectors"] for r in rows) == embeddings.count()
+    for r in rows:
+        assert -1.0 <= r["min_cos"] <= r["mean_cos_to_centroid"] <= 1.0

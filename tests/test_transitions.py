@@ -80,3 +80,20 @@ def test_pagerank_dangling_mass_redistributed(spark):
     )
     rows = pagerank(edges, iterations=5).collect()
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
+def test_transition_conformance_flags(spark):
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.transitions import transition_conformance
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "signup"), (2, t0 + dt.timedelta(minutes=1), 1, "view"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase"),  # view->purchase illegal
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {(r["from_state"], r["to_state"]): r["allowed"]
+           for r in transition_conformance(df, [("signup", "view"), ("view", "click")]).collect()}
+    assert out[("signup", "view")] is True
+    assert out[("view", "purchase")] is False
