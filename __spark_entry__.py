@@ -1731,6 +1731,38 @@ ALLOWED_TRANSITIONS = [
 ]
 
 
+def _completeness_slices_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause slicing: per (segment, column), the completeness gap to
+    the column's global completeness — the 'which source broke this
+    field' view. One grouped profile + one global profile (both fused),
+    joined on the column key; gap is a fixed double ROUND6."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.grouped_profile import grouped_profile
+
+    ev = _t(spark, sf_dir, "events")
+    seg = grouped_profile(ev, "event_type").where(
+        F.col("name") == "Completeness"
+    ).select(
+        F.col("group_value").alias("segment"),
+        F.col("instance").alias("column"),
+        F.col("value").alias("seg_completeness"),
+    )
+    glob = profile_table(ev, ProfilerConfig(), include_approx=False).where(
+        F.col("name") == "Completeness"
+    ).select(
+        F.col("instance").alias("column"),
+        F.col("value").alias("global_completeness"),
+    )
+    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    return seg.join(F.broadcast(glob), "column").selectExpr(
+        "segment",
+        "`column`",
+        "seg_completeness",
+        "global_completeness",
+        f"cast({r6.format(x='seg_completeness - global_completeness')}"
+        " AS double) AS gap",
+    )
+
+
 def _transition_conformance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lifecycle conformance: observed user-journey transitions vs the
     declared state machine (gate reads WHERE NOT allowed)."""
@@ -2255,6 +2287,7 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_events_halves": _w1_events_halves,
         "drift_gate_events": _drift_gate_events,
         "transition_conformance_events": _transition_conformance_events,
+        "completeness_slices_events": _completeness_slices_events,
         "k_anonymity_customer": _k_anonymity_customer,
         "buyers_intersect_except": _buyers_intersect_except,
         "aqp_mean_lineitem": _aqp_mean_lineitem,
@@ -2844,6 +2877,23 @@ SELECT h, n_docs, n_occurrences FROM spread WHERE n_docs > 1
 ORDER BY n_docs DESC, n_occurrences DESC, h ASC LIMIT 50
 """
         )(__import__("data_profiler_for_aws_glue_data_catalog_spark.oracle_ext", fromlist=["x"])),
+        "completeness_slices_events": """
+WITH seg AS (
+  SELECT group_value AS segment, instance AS "column",
+         value AS seg_completeness
+  FROM (""" + O.grouped_profile_sql("events", "event_type") + """)
+  WHERE name = 'Completeness'
+),
+overall AS (
+  SELECT instance AS "column", value AS global_completeness
+  FROM (""" + O.profile_table_sql("events", expensive=False) + """)
+  WHERE name = 'Completeness'
+)
+SELECT segment, "column", seg_completeness, global_completeness,
+  CAST(floor((seg_completeness - global_completeness) * 1000000.0 + 0.5)
+    / 1000000.0 AS DOUBLE) AS gap
+FROM seg JOIN overall USING ("column")
+""",
         "transition_conformance_events": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.transitions", fromlist=["x"]
         ).transition_conformance_sql("events", ALLOWED_TRANSITIONS),

@@ -231,6 +231,7 @@ def main() -> None:
         "ab_compare_events",
         "ivf_inertia_embeddings",
         "transition_conformance_events",
+        "completeness_slices_events",
         "pagerank_event_graph",
     ]
     # Exact brute-force kernels are correctness aids, not headline ops —
