@@ -65,9 +65,14 @@ def _moment_exprs(a: str, b: str, k: int, decimal: bool, spark: bool) -> list[st
     """The six aliased moment aggregates for pair k in one dialect."""
     both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
     if decimal:
-        cast = "try_cast" if spark else "CAST"
-        dec = "decimal(18,6)" if spark else "DECIMAL(19,6)"
-        xa, xb = f"{cast}({a} AS {dec})", f"{cast}({b} AS {dec})"
+        if spark:
+            xa, xb = f"try_cast({a} AS decimal(18,6))", f"try_cast({b} AS decimal(18,6))"
+        else:
+            # TRY_CAST matches Spark's NULL-at-overflow envelope; the widen
+            # to 19,6 forces DuckDB's int128 multiply kernel (oracle.py
+            # sq_operand_sql convention)
+            xa = f"CAST(TRY_CAST({a} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+            xb = f"CAST(TRY_CAST({b} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
         wrap = lambda s: f"cast({s} AS double)" if spark else f"CAST({s} AS DOUBLE)"
     else:
         cast = "cast" if spark else "CAST"

@@ -41,8 +41,8 @@ def extreme_rows(
             e
             for i, c in enumerate(columns)
             for e in (
-                f"cast({ROUND6.format(x=f'cast(sum(cast(`{c}` AS decimal(27,6))) AS double) / count(`{c}`)')} AS double) AS mu_{i}",
-                f"cast({ROUND6.format(x=(f'sqrt(greatest(cast(sum(cast(`{c}` AS decimal(18,6)) * cast(`{c}` AS decimal(18,6))) AS double) / count(`{c}`) - pow(cast(sum(cast(`{c}` AS decimal(27,6))) AS double) / count(`{c}`), 2), 0.0))'))} AS double) AS sd_{i}",
+                f"cast({ROUND6.format(x=f'cast(sum(try_cast(`{c}` AS decimal(27,6))) AS double) / count(`{c}`)')} AS double) AS mu_{i}",
+                f"cast({ROUND6.format(x=(f'sqrt(greatest(cast(sum(try_cast(`{c}` AS decimal(18,6)) * try_cast(`{c}` AS decimal(18,6))) AS double) / count(`{c}`) - pow(cast(sum(try_cast(`{c}` AS decimal(27,6))) AS double) / count(`{c}`), 2), 0.0))'))} AS double) AS sd_{i}",
             )
         ]
     )
@@ -71,13 +71,14 @@ def extreme_rows_sql(
     """DuckDB mirror: identical rounded moments and ordering."""
     arms = []
     for c in columns:
+        sq = f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
         mu = ROUND6.format(
-            x=f"CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({c})"
+            x=f"CAST(SUM(TRY_CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({c})"
         )
         sd = ROUND6.format(
             x=(
-                f"SQRT(GREATEST(CAST(SUM(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6))) AS DOUBLE) / COUNT({c})"
-                f" - POW(CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({c}), 2), 0.0))"
+                f"SQRT(GREATEST(CAST(SUM({sq} * {sq}) AS DOUBLE) / COUNT({c})"
+                f" - POW(CAST(SUM(TRY_CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({c}), 2), 0.0))"
             )
         )
         z = f"(CAST({c} AS DOUBLE) - mu) / sd"

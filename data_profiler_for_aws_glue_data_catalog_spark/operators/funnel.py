@@ -223,11 +223,16 @@ def funnel_step_times(
         .agg(F.expr(evs).alias("evs"))
         .selectExpr("entity_id", f"{fold} AS arr")
     )
+    # entities that completed <2 steps contribute no gaps: guard the
+    # sequence() — sequence(2, size) DESCENDS when size < 2 (default
+    # step -1) and element_at would then hit index 0 and raise.
     gaps = arrivals.select(
         F.posexplode(
             F.expr(
-                "transform(sequence(2, size(arr)),"
+                "CASE WHEN size(arr) >= 2 THEN"
+                " transform(sequence(2, size(arr)),"
                 " k -> element_at(arr, k) - element_at(arr, k - 1))"
+                " ELSE array() END"
             )
         ).alias("_i", "gap")
     ).select((F.col("_i") + 2).alias("step"), "gap")

@@ -288,9 +288,10 @@ def aqp_mean_estimate_sql(
 WITH s AS ({sample_sql(rate, table, id_col, seed)}),
 agg AS (
   SELECT COUNT(*) AS n_sample,
-    CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS _s,
-    CAST(SUM(CAST({value_col} AS DECIMAL(19,6))
-      * CAST({value_col} AS DECIMAL(19,6))) AS DOUBLE) AS _s2
+    CAST(SUM(TRY_CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE) AS _s,
+    CAST(SUM(CAST(TRY_CAST({value_col} AS DECIMAL(18,6)) AS DECIMAL(19,6))
+      * CAST(TRY_CAST({value_col} AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+      AS DOUBLE) AS _s2
   FROM s WHERE {value_col} IS NOT NULL
 )
 SELECT n_sample,

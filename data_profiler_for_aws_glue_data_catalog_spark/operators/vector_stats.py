@@ -37,8 +37,9 @@ ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
 # Sum accumulation: wide decimal. Square accumulation: decimal(18,6) so the
 # product stays inside precision 38 at scale 12 with NO precision-loss
-# rounding (scan_metrics SQ_DECIMAL policy); the DuckDB twin is DECIMAL(19,6)
-# which forces the exact int128 multiply kernel (correlation.py precedent).
+# rounding (scan_metrics SQ_DECIMAL policy); the DuckDB twin TRY_CASTs to
+# DECIMAL(18,6) (Spark's try_cast NULL-at-overflow envelope) then widens to
+# 19,6 to force the exact int128 multiply kernel (oracle.sq_operand_sql).
 _DEC = "decimal(27,6)"
 _DDEC = "DECIMAL(27,6)"
 _SQ = "decimal(18,6)"
@@ -91,8 +92,10 @@ def vector_dim_stats_sql(table: str, dim: int, vec_col: str = "embedding") -> st
     for i in range(dim):
         x = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
         xr = ROUND6.format(x=x)
-        xd = f"CAST({xr} AS {_DDEC})"
-        xq = f"CAST({xr} AS {_DSQ})"
+        # TRY_CAST mirrors Spark's try_cast NULL-at-overflow envelope; the
+        # widen to 19,6 keeps DuckDB's multiply on the int128 kernel
+        xd = f"TRY_CAST({xr} AS {_DDEC})"
+        xq = f"CAST(TRY_CAST({xr} AS DECIMAL(18,6)) AS {_DSQ})"
         n = "CAST(n AS DOUBLE)"
         var = f"(sx2 - (sx * sx) / {n}) / {n}"
         std = f"CASE WHEN {n} > 0 THEN sqrt(greatest({var}, 0.0)) END"

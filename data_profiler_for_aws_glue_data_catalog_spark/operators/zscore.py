@@ -87,8 +87,9 @@ WITH base AS (
 ),
 stats AS (
   SELECT group_key, COUNT(*) AS _n,
-    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
-    CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+    CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
+    CAST(SUM(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
+           * CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)))
          AS DOUBLE) AS _s2
   FROM base GROUP BY group_key
 )
@@ -170,8 +171,9 @@ WITH base AS (
 ),
 stats AS (
   SELECT arm, COUNT(*) AS n,
-    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
-    CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+    CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
+    CAST(SUM(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
+           * CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)))
          AS DOUBLE) AS _s2
   FROM base GROUP BY arm
 )

@@ -91,8 +91,19 @@ _SUM_DEC = "DECIMAL(27,6)"  # keep in sync with scan_metrics.SUM_DECIMAL
 # Spark squares decimal(18,6) into decimal(37,12); DuckDB only widens a
 # multiply to w1+w2, and with w=18 it tries the int64 kernel and overflows —
 # width 19 forces the int128 kernel with result width exactly 38. The VALUES
-# are identical (both exact 6-dp roundings of the input).
+# are identical (both exact 6-dp roundings of the input). The overflow
+# ENVELOPE must also match Spark's try_cast (NULL at |v| >= 1e12, never a
+# hard error — the guard CASE computes both branches' aggregates): square
+# operands therefore TRY_CAST to DECIMAL(18,6) first, then widen to 19,6
+# for the int128 kernel. Residual caveat (both engines): double->decimal
+# conversion above ~9e9 can differ in the last 6-dp digit between engines.
 _SQ_DEC = "DECIMAL(19,6)"
+
+
+def sq_operand_sql(c: str) -> str:
+    """DuckDB square operand matching Spark's try_cast(c AS decimal(18,6)):
+    same NULL envelope, widened for the int128 multiply kernel."""
+    return f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS {_SQ_DEC})"
 
 
 def _row(entity: str, instance: str, name: str, value_sql: str, typ: str | None) -> str:
@@ -116,7 +127,10 @@ _SQ_GUARD = "1e12"
 
 
 def _sum_dec_raw(c: str) -> str:
-    return f"CAST(SUM(CAST({c} AS {_SUM_DEC})) AS DOUBLE)"
+    # TRY_CAST: Spark's twin is try_cast — both branches of the guard CASE
+    # are computed as aggregates, so the decimal branch must not hard-error
+    # on out-of-domain values in either engine.
+    return f"CAST(SUM(TRY_CAST({c} AS {_SUM_DEC})) AS DOUBLE)"
 
 
 def _guarded(c: str, limit: str, dec_branch: str, fallback: str) -> str:
@@ -140,7 +154,7 @@ def _mean_sql(c: str) -> str:
 
 
 def _stddev_sql(c: str) -> str:
-    xd = f"CAST({c} AS {_SQ_DEC})"
+    xd = sq_operand_sql(c)
     sx2 = f"CAST(SUM({xd} * {xd}) AS DOUBLE)"
     sx = _sum_dec_raw(c)
     n = f"CAST(COUNT({c}) AS DOUBLE)"

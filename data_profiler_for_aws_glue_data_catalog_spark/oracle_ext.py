@@ -896,9 +896,10 @@ def metric_anomalies_sql(
     v6 = round6_sql("CAST(value AS DOUBLE)")
     base = "ts < mx"
     in_dom = f"COALESCE(MAX(ABS(v)) FILTER (WHERE {base}) < 1e12, FALSE)"
-    s_dec = f"CAST(SUM(CAST(v AS DECIMAL(27,6))) FILTER (WHERE {base}) AS DOUBLE)"
+    s_dec = f"CAST(SUM(TRY_CAST(v AS DECIMAL(27,6))) FILTER (WHERE {base}) AS DOUBLE)"
+    sq = "CAST(TRY_CAST(v AS DECIMAL(18,6)) AS DECIMAL(19,6))"
     s2_dec = (
-        f"CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) "
+        f"CAST(SUM({sq} * {sq}) "
         f"FILTER (WHERE {base}) AS DOUBLE)"
     )
     mean_b = "(_s / NULLIF(_nb, 0.0))"
@@ -1211,9 +1212,15 @@ def dedup_eval_sql(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    integers_only: bool = False,
 ) -> str:
     """Oracle for operators.dedup.dedup_eval: the two pair relations'
-    full-outer reconciliation."""
+    full-outer reconciliation.
+
+    ``integers_only=True`` drops the ROUND6'd precision/recall doubles
+    from the hashed surface — the confusion-matrix integers hash
+    identically in every environment, while the float division crossed a
+    .5-ulp rounding boundary in one harness (r02 driver gate)."""
     truth = jaccard_near_duplicates_sql(table, text_col, id_col, n, threshold)
     pred = minhash_lsh_near_duplicates_sql(
         table, text_col, id_col, n, threshold=threshold
@@ -1235,9 +1242,9 @@ c AS (
     SUM(CASE WHEN _p IS NULL THEN 1 ELSE 0 END) AS fn
   FROM j
 )
-SELECT n_truth, n_pred, tp, fp, fn,
+SELECT n_truth, n_pred, tp, fp, fn{"" if integers_only else f''',
   CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fp, 0)')} AS DOUBLE) AS precision,
-  CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS DOUBLE) AS recall
+  CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS DOUBLE) AS recall'''}
 FROM c
 """
 

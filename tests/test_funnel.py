@@ -97,3 +97,47 @@ def test_funnel_step_times_values(spark):
     assert out[2]["n_entities"] == 2 and out[2]["stage"] == "click"
     assert out[2]["median_gap_s"] == 80.0  # median of {60, 100}
     assert out[3]["n_entities"] == 1 and out[3]["median_gap_s"] == 120.0
+
+
+def test_funnel_step_times_partial_entities(spark):
+    """Entities completing <2 steps (0 or 1) must not crash the gap
+    transform — sequence(2, size) descends below 1 when size < 2
+    (the r2 ADVICE crash) — and contribute no gap rows."""
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel_step_times
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1 completes the full funnel
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(seconds=30), 1, "click"),
+        (3, t0 + dt.timedelta(seconds=90), 1, "purchase"),
+        # user 2: only step 1 (size(arr) == 1 — the crash path)
+        (4, t0, 2, "view"),
+        # user 3: zero funnel steps (size(arr) == 0)
+        (5, t0, 3, "error"),
+        # user 4: step 2 only, never step 1 -> zero steps reached
+        (6, t0, 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["step"]: r for r in
+           funnel_step_times(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["n_entities"] == 1 and out[2]["median_gap_s"] == 30.0
+    assert out[3]["n_entities"] == 1 and out[3]["median_gap_s"] == 60.0
+
+
+def test_funnel_step_times_no_completers(spark):
+    """All entities stop at step 1 -> empty result, no crash."""
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.funnel import funnel_step_times
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, t0, 1, "view"), (2, t0, 2, "view")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert funnel_step_times(df, ["view", "click", "purchase"]).count() == 0
