@@ -275,14 +275,34 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a file: the driver captures only the
+    # LAST ~2000 chars of stdout, and the full map (180+ queries) overflows
+    # that window (r02's BENCH json had parsed:null for exactly this
+    # reason). stdout gets the full line for humans, then a short summary
+    # line LAST — guaranteed to fit the tail window intact — carrying the
+    # headline number plus the slowest queries.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f)
+    print(json.dumps(full))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": sf_val,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

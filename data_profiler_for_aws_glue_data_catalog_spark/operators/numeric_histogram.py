@@ -201,15 +201,16 @@ EQUI_DEPTH_COLS = ["instance", "bucket", "lo", "hi", "cnt", "ratio"]
 
 
 def equi_depth_histograms(
-    df: DataFrame, columns: list[str], n_bins: int = 10
+    df: DataFrame, columns: list[str], n_bins: int = 10,
+    exact: bool = False, accuracy: int = 10000,
 ) -> DataFrame:
     """Equi-depth (quantile-bounded) histograms for numeric columns.
 
-    Bucket bounds are the exact percentiles at i/n_bins; each bucket
-    holds ~n/n_bins rows (exactly, up to ties and interpolation).
-    Output matches the equi-width shape: (instance, bucket, lo, hi,
-    cnt, ratio), sparse (empty buckets absent — possible when bounds
-    tie on low-cardinality columns).
+    Bucket bounds are the percentiles at i/n_bins; each bucket holds
+    ~n/n_bins rows (exactly under ``exact=True``, up to ties and
+    interpolation). Output matches the equi-width shape: (instance,
+    bucket, lo, hi, cnt, ratio), sparse (empty buckets absent —
+    possible when bounds tie on low-cardinality columns).
 
     Plan shape: pass 1 is ONE fused agg (percentile arrays + min/max +
     count for all columns, 1 row); pass 2 broadcasts it back, assigns
@@ -217,19 +218,25 @@ def equi_depth_histograms(
     ONE groupBy over (column, bucket) keys — at most columns x bins
     groups survive the partial agg, so the shuffle is tiny at any scale.
 
-    Determinism: bounds are exact percentiles ROUND6'd BEFORE the
-    comparison, so bucket assignment runs on identical doubles in both
-    engines (the 5e-7-of-a-bound caveat of outliers.py applies).
+    Determinism: bounds are ROUND6'd BEFORE the comparison, so bucket
+    assignment runs on identical doubles in both engines when
+    ``exact=True`` (the 5e-7-of-a-bound caveat of outliers.py applies).
+    The DEFAULT is percentile_approx: exact percentile holds O(n)
+    per-column state in one aggregation buffer — an executor OOM at
+    100 TB — so exact bounds are opt-in, pinned only by the
+    oracle-hashed registration at small SF.
     """
     if not columns:
         raise ValueError("equi_depth_histograms: no columns")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
     pts = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
     stats = df.selectExpr(
         *[
             e
             for c in columns
             for e in (
-                f"transform(percentile({c}, array({pts})), "
+                f"transform({fn}({c}, array({pts}){extra}), "
                 f"b -> cast({ROUND6.format(x='b')} AS double)) AS bs_{c}",
                 f"cast({ROUND6.format(x=f'cast(min({c}) AS double)')} AS double) AS mn_{c}",
                 f"cast({ROUND6.format(x=f'cast(max({c}) AS double)')} AS double) AS mx_{c}",

@@ -18,10 +18,12 @@ engines before the comparison — the comparison operates on identical
 doubles, so counts are bit-reproducible (at the documented cost that a
 value within 5e-7 of a fence classifies by the rounded fence).
 
-Scale notes (100 TB): exact percentile state is O(n) per column on a
-single reducer — for truly unbounded columns pass ``exact=False`` to
-ride percentile_approx (bounded KLL/GK state, same call shape; the
-result is then sketch-grade and should be rows-only-checked).
+Scale notes (100 TB): exact percentile state is O(n) per column in ONE
+aggregation buffer — at 100 TB that is an executor OOM, not a slowdown.
+The DEFAULT is therefore ``exact=False`` (percentile_approx: bounded
+GK-sketch state, same call shape); pass ``exact=True`` only when the
+result must be bit-deterministic against an exact oracle (the
+registered correctness queries pin it, at sf0.01 where O(n) is trivial).
 """
 
 from __future__ import annotations
@@ -43,7 +45,7 @@ def iqr_outliers(
     df: DataFrame,
     columns: list[str],
     k: float = 1.5,
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
 ) -> DataFrame:
     """One row per column with fences + outlier counts (nulls ignored)."""
@@ -174,8 +176,10 @@ def winsorize(
     columns: list[str],
     lower: float = 0.01,
     upper: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Clip each column to its [lower, upper] exact-percentile bounds
+    """Clip each column to its [lower, upper] percentile bounds
     (winsorization — the standard heavy-tail taming transform before
     training/aggregation).
 
@@ -184,17 +188,21 @@ def winsorize(
     two scans, zero shuffles, output schema identical to the input.
 
     Determinism: bounds are ROUND6'd in both engines (outliers.py
-    contract), so the clip is bit-reproducible.
+    contract), so the clip is bit-reproducible WHEN ``exact=True``; the
+    default rides percentile_approx (bounded sketch state — the module
+    scale note) and is sketch-grade.
     """
     if not columns:
         raise ValueError("winsorize: need at least one column")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
     bounds = df.selectExpr(
         *[
             e
             for i, c in enumerate(columns)
             for e in (
-                f"cast({ROUND6.format(x=f'percentile({sql_ident(c)}, {lower!r})')} AS double) AS wlo_{i}",
-                f"cast({ROUND6.format(x=f'percentile({sql_ident(c)}, {upper!r})')} AS double) AS whi_{i}",
+                f"cast({ROUND6.format(x=f'{fn}({sql_ident(c)}, {lower!r}{extra})')} AS double) AS wlo_{i}",
+                f"cast({ROUND6.format(x=f'{fn}({sql_ident(c)}, {upper!r}{extra})')} AS double) AS whi_{i}",
             )
         ]
     )
@@ -252,6 +260,8 @@ def mad_outliers(
     columns: list[str],
     k: float = 3.0,
     scale: float = 1.4826,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Robust (median/MAD) outlier detection — the heavy-tail-safe
     alternative to the IQR fences: values outside
@@ -259,24 +269,28 @@ def mad_outliers(
     (scale 1.4826 makes MAD consistent with sigma under normality,
     public statistics).
 
-    Plan shape: THREE scans, ZERO shuffles — exact median per column
-    (one fused 1-row agg), broadcast back for the |x - median| median
+    Plan shape: THREE scans, ZERO shuffles — median per column (one
+    fused 1-row agg), broadcast back for the |x - median| median
     (second fused agg), broadcast fences for the final count pass.
     Median and MAD are ROUND6'd BEFORE the fences derive from them, so
-    both engines run the comparison on identical doubles.
+    both engines run the comparison on identical doubles when
+    ``exact=True``; the default rides percentile_approx (bounded sketch
+    state — the module scale note).
     """
     if not columns:
         raise ValueError("mad_outliers: need at least one column")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
     med = df.selectExpr(
         *[
-            f"cast({ROUND6.format(x=f'percentile({sql_ident(c)}, 0.5)')} AS double) AS med_{i}"
+            f"cast({ROUND6.format(x=f'{fn}({sql_ident(c)}, 0.5{extra})')} AS double) AS med_{i}"
             for i, c in enumerate(columns)
         ]
     )
     mad_agg = df.crossJoin(F.broadcast(med)).selectExpr(
         *[f"first(med_{i}) AS med_{i}" for i in range(len(columns))],
         *[
-            f"cast({ROUND6.format(x=f'percentile(abs(cast({sql_ident(c)} AS double) - med_{i}), 0.5)')} AS double) AS mad_{i}"
+            f"cast({ROUND6.format(x=f'{fn}(abs(cast({sql_ident(c)} AS double) - med_{i}), 0.5{extra})')} AS double) AS mad_{i}"
             for i, c in enumerate(columns)
         ],
     )

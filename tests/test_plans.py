@@ -116,6 +116,35 @@ def test_iqr_outliers_has_no_shuffle(lineitem):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_percentile_defaults_are_sketch_safe(lineitem):
+    """The DEFAULT percentile family path must plan percentile_approx
+    (bounded GK-sketch state), never the exact percentile aggregate —
+    exact percentile accumulates O(n) per-column state in one aggregation
+    buffer, an executor OOM at 100 TB. exact=True stays available and is
+    pinned only in the oracle-hashed registrations."""
+    import re
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.numeric_histogram import (
+        equi_depth_histograms,
+    )
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.outliers import (
+        iqr_outliers,
+        mad_outliers,
+        winsorize,
+    )
+
+    for df in (
+        iqr_outliers(lineitem, ["l_quantity"]),
+        mad_outliers(lineitem, ["l_quantity"]),
+        winsorize(lineitem, ["l_quantity"]),
+        equi_depth_histograms(lineitem, ["l_quantity"], 4),
+    ):
+        p = plan_str(df, "simple")
+        assert "percentile_approx" in p
+        # no exact-percentile aggregate anywhere in the default plan
+        assert not re.search(r"(?<!_)percentile\(", p), p
+
+
 def test_cooccurrence_join_is_equi(lineitem):
     """Pair generation must be a hash/sort-merge equi-join on the group
     key, never a nested-loop product."""
