@@ -396,14 +396,17 @@ def dedup_summary(
     groups = docs.select(h.alias("content_md5")).groupBy("content_md5").agg(
         F.count(F.lit(1)).alias("sz")
     )
+    # coalesce(sum, 0): empty corpus -> zero counts; try_divide keeps
+    # dup_rate NULL there instead of an ANSI divide-by-zero
     agg = groups.agg(
-        F.sum("sz").alias("n_docs"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct_contents"),
-        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(F.lit(0))).alias(
-            "n_dup_docs"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("n_dup_docs"),
     )
-    rate = "cast(n_docs - n_distinct_contents AS double) / cast(n_docs AS double)"
+    rate = "try_divide(cast(n_docs - n_distinct_contents AS double), cast(n_docs AS double))"
     return agg.selectExpr(
         "n_docs", "n_distinct_contents", "n_dup_docs",
         "n_docs - n_distinct_contents AS n_redundant",
@@ -439,14 +442,17 @@ def dedup_eval(
     ).select("doc_a", "doc_b", F.lit(1).alias("_p"))
     j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
     r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    # coalesce(sum, 0): an EMPTY pair relation (clean corpus) must report
+    # a zero confusion matrix, not NULLs (sum over zero rows is NULL)
     return j.agg(
-        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_truth"),
-        F.sum(F.coalesce(F.col("_p"), F.lit(0))).alias("n_pred"),
-        F.sum(
-            (F.col("_t").isNotNull() & F.col("_p").isNotNull()).cast("int")
+        F.coalesce(F.sum(F.coalesce(F.col("_t"), F.lit(0))), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("_p"), F.lit(0))), F.lit(0)).alias("n_pred"),
+        F.coalesce(
+            F.sum((F.col("_t").isNotNull() & F.col("_p").isNotNull()).cast("int")),
+            F.lit(0),
         ).alias("tp"),
-        F.sum((F.col("_t").isNull()).cast("int")).alias("fp"),
-        F.sum((F.col("_p").isNull()).cast("int")).alias("fn"),
+        F.coalesce(F.sum((F.col("_t").isNull()).cast("int")), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum((F.col("_p").isNull()).cast("int")), F.lit(0)).alias("fn"),
     ).selectExpr(
         "n_truth", "n_pred", "tp", "fp", "fn",
         f"cast({r6.format(x='CAST(tp AS DOUBLE) / nullif(tp + fp, 0)')} AS double)"

@@ -92,7 +92,8 @@ def funnel_summary(
     )
     structs = []
     for k, s in enumerate(steps):
-        conv = f"cast(s_{k} AS double) / cast(n_total AS double)"
+        # try_divide: zero entities -> NULL conversion, not an ANSI error
+        conv = f"try_divide(cast(s_{k} AS double), cast(n_total AS double))"
         structs.append(
             f"named_struct('stage', {k + 1}, 'step', {sql_str(s)}, "
             f"'n_entities', s_{k}, "

@@ -81,8 +81,10 @@ def iqr_outliers(
             for e in (
                 f"q1_{i}", f"q3_{i}", f"lo_{i}", f"hi_{i}",
                 f"cast({sql_ident(c)} IS NOT NULL AS int) AS v_{i}",
-                f"cast({sql_ident(c)} < lo_{i} AS int) AS b_{i}",
-                f"cast({sql_ident(c)} > hi_{i} AS int) AS a_{i}",
+                # coalesce: NULL value or NULL fence (all-null column)
+                # counts as not-an-outlier — the oracle's CASE..ELSE 0
+                f"cast(coalesce({sql_ident(c)} < lo_{i}, false) AS int) AS b_{i}",
+                f"cast(coalesce({sql_ident(c)} > hi_{i}, false) AS int) AS a_{i}",
             )
         ]
     ).agg(
@@ -108,7 +110,7 @@ def iqr_outliers(
         f"stack({len(columns)}, {stack_args}) AS "
         "(column, q1, q3, lower_fence, upper_fence, n_values, n_below, n_above)"
     )
-    rate = "cast(n_below + n_above AS double) / cast(n_values AS double)"
+    rate = "try_divide(cast(n_below + n_above AS double), cast(n_values AS double))"
     return unpivoted.selectExpr(
         "column", "q1", "q3", "lower_fence", "upper_fence",
         "n_values", "n_below", "n_above",
@@ -313,7 +315,7 @@ def mad_outliers(
             for e in (
                 f"med_{i}", f"mad_{i}", f"lo_{i}", f"hi_{i}",
                 f"cast({sql_ident(c)} IS NOT NULL AS int) AS v_{i}",
-                f"cast({sql_ident(c)} < lo_{i} OR {sql_ident(c)} > hi_{i} AS int) AS o_{i}",
+                f"cast(coalesce({sql_ident(c)} < lo_{i} OR {sql_ident(c)} > hi_{i}, false) AS int) AS o_{i}",
             )
         ]
     ).agg(
@@ -334,7 +336,7 @@ def mad_outliers(
         f"'{c}', med_{i}, mad_{i}, lo_{i}, hi_{i}, n_{i}, no_{i}"
         for i, c in enumerate(columns)
     )
-    rate = "cast(n_outliers AS double) / cast(n_values AS double)"
+    rate = "try_divide(cast(n_outliers AS double), cast(n_values AS double))"
     return counted.selectExpr(
         f"stack({len(columns)}, {stack_args}) AS "
         "(column, median, mad, lower_fence, upper_fence, n_values, n_outliers)"

@@ -74,13 +74,23 @@ def collect_centroids(e: DataFrame, n_cells: int) -> list[tuple[int, list[float]
 
 
 def _centroid_array(cents: list[tuple[int, list[float], float]]) -> Column:
-    """Literal array<struct<cell, cv, cn>> of collected centroids."""
+    """Literal array<struct<cell, cv, cn>> of collected centroids.
+
+    An empty centroid list (empty input frame) must still carry the struct
+    type: a bare ``F.array()`` is array<void> and any lambda field access
+    over it fails analysis — so the empty case is an explicitly-typed
+    empty array (transform/array_max/explode over it then degrade to
+    empty/NULL, which is the correct no-op)."""
+    if not cents:
+        return F.expr(
+            "cast(array() AS array<struct<cell:bigint,cv:array<double>,cn:double>>)"
+        )
     return F.array(
         *[
             F.struct(
                 F.lit(cid).cast("bigint").alias("cell"),
                 F.array(*[F.lit(x) for x in vec]).alias("cv"),
-                F.lit(n).alias("cn"),
+                F.lit(n).cast("double").alias("cn"),
             )
             for cid, vec, n in cents
         ]

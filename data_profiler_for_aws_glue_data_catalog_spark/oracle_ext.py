@@ -1122,7 +1122,8 @@ def dedup_summary_sql(
 ) -> str:
     """Mirror of dedup.dedup_summary."""
     rate = round6_sql(
-        "CAST(n_docs - n_distinct_contents AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        "CAST(n_docs - n_distinct_contents AS DOUBLE)"
+        " / NULLIF(CAST(n_docs AS DOUBLE), 0.0)"
     )
     return f"""
 WITH groups AS (
@@ -1130,8 +1131,9 @@ WITH groups AS (
   FROM {table} GROUP BY 1
 ),
 agg AS (
-  SELECT SUM(sz) AS n_docs, COUNT(*) AS n_distinct_contents,
-    SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS n_dup_docs
+  -- COALESCE/NULLIF: empty corpus -> zero counts + NULL rate (dedup.py parity)
+  SELECT COALESCE(SUM(sz), 0) AS n_docs, COUNT(*) AS n_distinct_contents,
+    COALESCE(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END), 0) AS n_dup_docs
   FROM groups
 )
 SELECT n_docs, n_distinct_contents, n_dup_docs,
@@ -1236,10 +1238,12 @@ j AS (
     ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
 ),
 c AS (
-  SELECT SUM(COALESCE(_t, 0)) AS n_truth, SUM(COALESCE(_p, 0)) AS n_pred,
-    SUM(CASE WHEN _t IS NOT NULL AND _p IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-    SUM(CASE WHEN _t IS NULL THEN 1 ELSE 0 END) AS fp,
-    SUM(CASE WHEN _p IS NULL THEN 1 ELSE 0 END) AS fn
+  -- COALESCE(sum, 0): empty pair relation -> zero matrix (dedup.py parity)
+  SELECT COALESCE(SUM(COALESCE(_t, 0)), 0) AS n_truth,
+    COALESCE(SUM(COALESCE(_p, 0)), 0) AS n_pred,
+    COALESCE(SUM(CASE WHEN _t IS NOT NULL AND _p IS NOT NULL THEN 1 ELSE 0 END), 0) AS tp,
+    COALESCE(SUM(CASE WHEN _t IS NULL THEN 1 ELSE 0 END), 0) AS fp,
+    COALESCE(SUM(CASE WHEN _p IS NULL THEN 1 ELSE 0 END), 0) AS fn
   FROM j
 )
 SELECT n_truth, n_pred, tp, fp, fn{"" if integers_only else f''',
