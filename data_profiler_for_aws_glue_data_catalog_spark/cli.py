@@ -77,7 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run(argv: list[str] | None = None, spark=None) -> int:
+def run(argv: list[str] | None = None, spark=None, glue_client=None) -> int:
+    """Parse args and execute the enumerate->profile->publish lifecycle.
+
+    ``glue_client`` injects a boto3-glue-shaped client into the
+    ``--region`` path (tests use a fake; production leaves it None and
+    GlueMetadataCatalog builds the real boto3 client)."""
     args = build_parser().parse_args(argv)
     config = ProfilerConfig(
         compute_expensive=args.compExp,
@@ -109,9 +114,16 @@ def run(argv: list[str] | None = None, spark=None) -> int:
     if args.region:
         from data_profiler_for_aws_glue_data_catalog_spark.sinks.glue_catalog import GlueMetadataCatalog
 
-        glue = GlueMetadataCatalog(region=args.region)
+        glue = GlueMetadataCatalog(client=glue_client, region=args.region)
         names = glue.list_tables(db)
-        frames = {n: spark.table(f"{db}.{n}") for n in names}
+        frames = {}
+        for n in names:
+            try:
+                frames[n] = spark.table(f"{db}.{n}")
+            except Exception:
+                # session without a Hive mapping for the Glue db (tests,
+                # notebook temp views): fall back to the bare name
+                frames[n] = spark.table(n)
     else:
         frames = {}
         for n in list_catalog_tables(spark, db):
