@@ -3179,6 +3179,99 @@ def _tpch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Cross-engine output-type parity (driver hash is type/format-sensitive).
+# DuckDB types SUM(INTEGER) as HUGEINT, which its pandas conversion
+# renders as float64 ("5.0") while Spark's BIGINT renders "5" — rows and
+# schema match, value-hash doesn't (the r03 red cells: woe_lang_documents,
+# auc_documents, dedup_eval_lsh).  Rather than chase every integer
+# aggregate inside ~30 SQL generators, each affected oracle is wrapped at
+# this single registration boundary with DuckDB's
+#   SELECT * REPLACE (CAST(col AS BIGINT) AS col) FROM (...)
+# so the *output surface* — the only thing hashed — is type-aligned.
+# The map is produced mechanically by scripts/audit_type_parity.py and
+# enforced by tests/test_oracle_type_parity.py (plan-only, full surface).
+_ORACLE_OUTPUT_CASTS: dict[str, dict[str, str]] = {
+    "woe_lang_documents": {"n_pos": "BIGINT", "n_neg": "BIGINT"},
+    "auc_documents": {"n_pos": "BIGINT", "n_neg": "BIGINT"},
+    "dedup_eval_lsh": {c: "BIGINT" for c in ("n_truth", "n_pred", "tp", "fp", "fn")},
+    "token_topk": {"occurrences": "BIGINT"},
+    "vector_norm_stats": {
+        c: "BIGINT" for c in ("n_null", "n_wrong_dim", "n_nonfinite", "n_zero")
+    },
+    "key_skew_lineitem": {"n_rows": "BIGINT"},
+    "join_size_orders_lineitem": {
+        c: "BIGINT" for c in ("n_left", "n_right", "est_join_rows")
+    },
+    "ref_integrity_tpch": {
+        c: "BIGINT"
+        for c in (
+            "n_rows", "n_null_fk", "n_matched_rows", "n_orphan_rows",
+            "n_orphan_values", "n_distinct_fk",
+        )
+    },
+    "fd_strength_orders": {
+        c: "BIGINT" for c in ("n_rows", "n_determined_rows", "n_determined_groups")
+    },
+    "transition_matrix_events": {"n_from_total": "BIGINT"},
+    "pattern_scan_documents": {"n_docs_with_hit": "BIGINT", "total_hits": "BIGINT"},
+    "word_repetition_documents": {"n_words": "BIGINT"},
+    "iqr_outliers_lineitem": {
+        c: "BIGINT" for c in ("n_values", "n_outliers", "n_below", "n_above")
+    },
+    "mad_outliers_lineitem": {"n_values": "BIGINT", "n_outliers": "BIGINT"},
+    "inclusion_matrix_tpch": {
+        c: "BIGINT" for c in ("n_left", "n_right", "n_common")
+    },
+    "cramers_v_orders": {"n_rows": "BIGINT"},
+    "dedup_summary_documents": {
+        c: "BIGINT" for c in ("n_docs", "n_dup_docs", "n_redundant")
+    },
+    "freshness_events": {"n_last_24h": "BIGINT", "n_last_7d": "BIGINT"},
+    "duplicate_rows_lineitem": {
+        c: "BIGINT" for c in ("n_rows", "n_dup_rows", "n_redundant")
+    },
+    "composite_uniqueness_orders": {
+        "n_rows_nonnull": "BIGINT", "n_unique_combinations": "BIGINT"
+    },
+    "blank_stats_documents": {
+        c: "BIGINT" for c in ("n_null", "n_blank", "n_padded")
+    },
+    "jsd_events_halves": {"n_left": "BIGINT", "n_right": "BIGINT"},
+    "ks_events_halves": {"n_left": "BIGINT", "n_right": "BIGINT"},
+    "w1_events_halves": {"n_left": "BIGINT", "n_right": "BIGINT"},
+    # reverse direction: a DECIMAL(2,1) literal on the oracle side vs
+    # Spark double (renders equal via float64, but keep the surface clean)
+    "drift_gate_events": {"threshold": "DOUBLE"},
+    "k_anonymity_customer": {
+        c: "BIGINT"
+        for c in (
+            "n_rows", "n_unsafe_groups", "n_unsafe_rows",
+            "n_lowdiv_groups", "n_lowdiv_rows",
+        )
+    },
+    "calibration_documents": {"n_pos": "BIGINT"},
+    "reconcile_summary_orders": {
+        c: "BIGINT" for c in ("n_matched", "n_mismatched", "n_missing_detail")
+    },
+    "feature_ranking_lineitem": {"n": "BIGINT"},
+    "late_events": {"n_late": "BIGINT"},
+    "split_leakage_documents": {
+        c: "BIGINT"
+        for c in ("n_train", "n_test", "n_leaked_contents", "n_leaked_test_rows")
+    },
+    "best_split_lineitem": {"n": "BIGINT"},
+}
+
+
+def _apply_output_casts(o: dict[str, str]) -> dict[str, str]:
+    for name, casts in _ORACLE_OUTPUT_CASTS.items():
+        if name not in o:
+            continue
+        rep = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in sorted(casts.items()))
+        o[name] = f"SELECT * REPLACE ({rep}) FROM (\n{o[name]}\n)"
+    return o
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for t in TPCH_TABLES:
@@ -3240,4 +3333,4 @@ GROUP BY n_name ORDER BY n_name
     from data_profiler_for_aws_glue_data_catalog_spark.operators import tpch as _T
 
     o.update(_T.oracle_sql())
-    return o
+    return _apply_output_casts(o)

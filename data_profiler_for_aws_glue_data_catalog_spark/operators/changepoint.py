@@ -86,8 +86,11 @@ def mean_shift(
         s.groupBy("key")
         .agg(
             F.max("_n").alias("n"),
-            F.expr(ROUND6.format(x="max(_mean)")).alias("mean"),
-            F.max("_absS").alias("max_abs_cusum"),
+            # cast: ROUND6's decimal literal makes bigint/decimal division
+            # DecimalType in Spark; the oracle's floor(double)/1e6 is DOUBLE.
+            # Both are the 6-dp rational k/1e6, so double-cast is value-exact.
+            F.expr(ROUND6.format(x="max(_mean)")).cast("double").alias("mean"),
+            F.max("_absS").cast("double").alias("max_abs_cusum"),
             F.min_by("_ts", pick).alias("shift_at"),
             F.min_by("_t", pick).alias("shift_pos"),
         )
