@@ -2073,14 +2073,11 @@ def _extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": _embs_op(
             lambda e: D.embedding_near_duplicates(e, n_cells=None)
         ),
-        # hashed surface is the integer confusion matrix only: ROUND6'd
-        # float division (precision/recall) proved env-sensitive in the
-        # r02 driver gate (hash_match:false on a .5-ulp boundary);
-        # integers hash identically everywhere. precision/recall stay in
-        # the operator's full output for users + unit tests.
-        "dedup_eval_lsh": _docs_op(
-            lambda d: D.dedup_eval(d).select("n_truth", "n_pred", "tp", "fp", "fn")
-        ),
+        # full output incl. precision/recall: both engines now round the
+        # ratio in exact integer arithmetic ((2*tp*1e6+d) intdiv (2*d)),
+        # so the r02 .5-ulp float-division instability is gone and the
+        # floats are back on the hashed surface.
+        "dedup_eval_lsh": _docs_op(D.dedup_eval),
         "dedup_incremental_lsh": _docs_op(
             lambda d: D.minhash_lsh_incremental(d, F.col("doc_id") % 4 == 0)
         ),
@@ -2384,7 +2381,7 @@ def _extension_oracles() -> dict[str, str]:
         "ann_cosine_topk": OX.cosine_topk_sql(ANN_QUERY_IDS),
         "ann_ivf_topk": OX.ivf_topk_sql(ANN_QUERY_IDS),
         "knn_join_embeddings": OX.knn_join_sql(),
-        "dedup_eval_lsh": OX.dedup_eval_sql(integers_only=True),
+        "dedup_eval_lsh": OX.dedup_eval_sql(),
         "dedup_incremental_lsh": (
             "SELECT doc_a, doc_b, jaccard FROM ("
             + OX.minhash_lsh_near_duplicates_sql()

@@ -269,25 +269,44 @@ def main() -> None:
         if max(s) > 2 * min(s):  # one pass likely hit a host stall
             s.append(run_one(name))
     timings = {name: min(s) for name, s in samples.items()}
+    # Per-query spread (max/min over the samples that produced the min):
+    # on this shared host a ratio up to ~3x with identical plans is
+    # documented scheduler noise; cross-round comparisons should treat a
+    # min-timing drift inside that band as noise, not regression.
+    spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
+    spread_vals = sorted(spread.values())
+    median_spread = spread_vals[len(spread_vals) // 2] if spread_vals else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    protocol = {
+        "samples_per_query": "min of 2; +1 tie-breaker pass when max > 2*min",
+        "expected_noise_band": "per-query spread up to ~3x on this host; "
+        "treat min-timing drift within it as noise",
+    }
     full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "median_spread": median_spread,
+        "protocol": protocol,
         "sf": sf_val,
+        # marks the full-map line so consumers scanning stdout for the
+        # first matching metric can skip it (the canonical short summary
+        # is the LAST json line; this full map also lives in BENCH_DETAIL)
+        "detail": True,
     }
     # Full per-query detail goes to a file: the driver captures only the
     # LAST ~2000 chars of stdout, and the full map (180+ queries) overflows
     # that window (r02's BENCH json had parsed:null for exactly this
-    # reason). stdout gets the full line for humans, then a short summary
-    # line LAST — guaranteed to fit the tail window intact — carrying the
-    # headline number plus the slowest queries.
+    # reason). stdout gets the full line for humans (tagged detail:true),
+    # then a short summary line LAST — guaranteed to fit the tail window
+    # intact — carrying the headline number plus the slowest queries.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(full, f)
@@ -301,6 +320,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "median_spread": median_spread,
+                "protocol": protocol,
                 "sf": sf_val,
                 "detail_file": "BENCH_DETAIL.json",
             }

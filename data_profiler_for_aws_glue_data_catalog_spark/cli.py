@@ -114,15 +114,27 @@ def run(argv: list[str] | None = None, spark=None, glue_client=None) -> int:
     if args.region:
         from data_profiler_for_aws_glue_data_catalog_spark.sinks.glue_catalog import GlueMetadataCatalog
 
+        from pyspark.errors import AnalysisException
+
         glue = GlueMetadataCatalog(client=glue_client, region=args.region)
         names = glue.list_tables(db)
         frames = {}
         for n in names:
             try:
                 frames[n] = spark.table(f"{db}.{n}")
-            except Exception:
+            except AnalysisException:
                 # session without a Hive mapping for the Glue db (tests,
-                # notebook temp views): fall back to the bare name
+                # notebook temp views): fall back to the bare name — but
+                # only when a caller injected a fake client; in production
+                # a same-named temp view would silently shadow the Glue
+                # table and its stats would be published back to Glue
+                if glue_client is None:
+                    raise
+                print(
+                    f"warning: {db}.{n} not resolvable in this session; "
+                    f"falling back to bare table/view name {n!r}",
+                    file=sys.stderr,
+                )
                 frames[n] = spark.table(n)
     else:
         frames = {}

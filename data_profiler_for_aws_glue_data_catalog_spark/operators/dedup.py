@@ -441,7 +441,17 @@ def dedup_eval(
         docs, text_col, id_col, n, threshold=threshold
     ).select("doc_a", "doc_b", F.lit(1).alias("_p"))
     j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    # Engine-stable 6-dp half-up ratio: round6(tp/d) computed entirely in
+    # integer arithmetic as floor((2*tp*1e6 + d) / (2*d)) — an exact
+    # rational compare, so Spark and any oracle engine agree bit-for-bit.
+    # The earlier double-division form crossed a .5-ulp rounding boundary
+    # in one harness (r02), which had forced precision/recall OFF the
+    # hashed surface; this puts them back on it.  micro <= 1e6, so the
+    # final double division by 1e6 is exact.
+    r6ratio = (
+        "CAST((2 * tp * 1000000 + ({d})) DIV nullif(2 * ({d}), 0) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE)"
+    )
     # coalesce(sum, 0): an EMPTY pair relation (clean corpus) must report
     # a zero confusion matrix, not NULLs (sum over zero rows is NULL)
     return j.agg(
@@ -455,10 +465,8 @@ def dedup_eval(
         F.coalesce(F.sum((F.col("_p").isNull()).cast("int")), F.lit(0)).alias("fn"),
     ).selectExpr(
         "n_truth", "n_pred", "tp", "fp", "fn",
-        f"cast({r6.format(x='CAST(tp AS DOUBLE) / nullif(tp + fp, 0)')} AS double)"
-        " AS precision",
-        f"cast({r6.format(x='CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS double)"
-        " AS recall",
+        f"{r6ratio.format(d='tp + fp')} AS precision",
+        f"{r6ratio.format(d='tp + fn')} AS recall",
     )
 
 

@@ -1219,15 +1219,21 @@ def dedup_eval_sql(
     """Oracle for operators.dedup.dedup_eval: the two pair relations'
     full-outer reconciliation.
 
-    ``integers_only=True`` drops the ROUND6'd precision/recall doubles
-    from the hashed surface — the confusion-matrix integers hash
-    identically in every environment, while the float division crossed a
-    .5-ulp rounding boundary in one harness (r02 driver gate)."""
+    precision/recall mirror dedup.py's engine-stable integer-arithmetic
+    rounding — round6(tp/d) = (2*tp*1e6 + d) // (2*d) / 1e6, an exact
+    rational compare with no float division before the rounding step, so
+    both engines agree bit-for-bit and the full output (not just the
+    confusion-matrix integers) stays on the hashed surface.
+    ``integers_only=True`` is retained for callers that only need the
+    matrix."""
     truth = jaccard_near_duplicates_sql(table, text_col, id_col, n, threshold)
     pred = minhash_lsh_near_duplicates_sql(
         table, text_col, id_col, n, threshold=threshold
     )
-    r6 = round6_sql
+    r6ratio = (
+        "CAST((2 * tp * 1000000 + ({d})) // nullif(2 * ({d}), 0) AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE)"
+    )
     return f"""
 WITH truth AS MATERIALIZED (SELECT doc_a, doc_b, 1 AS _t FROM ({truth})),
 pred AS MATERIALIZED (SELECT doc_a, doc_b, 1 AS _p FROM ({pred})),
@@ -1247,8 +1253,8 @@ c AS (
   FROM j
 )
 SELECT n_truth, n_pred, tp, fp, fn{"" if integers_only else f''',
-  CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fp, 0)')} AS DOUBLE) AS precision,
-  CAST({r6('CAST(tp AS DOUBLE) / nullif(tp + fn, 0)')} AS DOUBLE) AS recall'''}
+  {r6ratio.format(d='tp + fp')} AS precision,
+  {r6ratio.format(d='tp + fn')} AS recall'''}
 FROM c
 """
 
