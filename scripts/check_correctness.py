@@ -2,9 +2,17 @@
 
 Runs every __spark_entry__.queries() entry at sf0.01 next to its
 oracle_sql() and compares row count, sorted-by-name columns, and
-order-insensitive exact values. Usage:
+order-insensitive values — BOTH numerically and as rendered strings.
+The driver's hash is type/format-sensitive: r03 proved a query can be
+value-exact yet hash-red when one engine renders "5.0" and the other
+"5" (DuckDB HUGEINT->float64 vs Spark BIGINT), so a numeric-only local
+gate gives false confidence.  Failures are classified:
 
-    python scripts/check_correctness.py [query ...]
+  FAIL ... value mismatch   — genuinely different numbers
+  FAIL ... format mismatch  — equal values, different rendering
+                              (dtype landmine; see _ORACLE_OUTPUT_CASTS)
+
+Usage:  python scripts/check_correctness.py [query ...]
 """
 
 from __future__ import annotations
@@ -103,7 +111,28 @@ def main() -> int:
                 if not cell_eq(va, vb):
                     bad.append((i, c, va, vb))
         if bad:
-            print(f"FAIL  {name}: {len(bad)} cell mismatches; first: {bad[:5]}")
+            print(f"FAIL  {name}: value mismatch, {len(bad)} cells; first: {bad[:5]}")
+            failures += 1
+            continue
+        # format-sensitive pass (the driver's hash sees rendered values):
+        # re-sort the RAW frames stringified so dtype differences that
+        # round-trip to different text ("5.0" vs "5") are caught here,
+        # not by the driver
+        cols = sorted(sdf.columns)
+        sa = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        sb = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        if not sa.equals(sb):
+            diff = (sa != sb).any(axis=1)
+            i = int(diff.idxmax())
+            mism = [
+                (c, sa[c].iloc[i], sb[c].iloc[i])
+                for c in cols
+                if sa[c].iloc[i] != sb[c].iloc[i]
+            ]
+            print(
+                f"FAIL  {name}: format mismatch (values equal), "
+                f"{int(diff.sum())} rows; first: {mism[:3]}"
+            )
             failures += 1
         else:
             print(f"OK    {name}: {len(a)} rows exact")
