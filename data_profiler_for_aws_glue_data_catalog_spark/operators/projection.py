@@ -115,20 +115,36 @@ def quantize_embeddings(
         r["dim"]: (r["min_val"], r["max_val"])
         for r in vector_dim_stats(embs, dim, vec_col).collect()
     }
-    structs = []
+    # Bounds as two literal ARRAYS + one transform lambda, not dim
+    # unrolled named_struct expressions: at dim=64 the unrolled explode
+    # blew Janino's 64 KB method limit and the whole stage silently fell
+    # back to interpreted execution. NULL range marks a constant/empty
+    # dimension (quantizes to 0). Same literals, same ((x-mn)/rng)*levels
+    # arithmetic, so values are bit-identical to the unrolled form.
+    mins: list[float | None] = []
+    rngs: list[float | None] = []
     for j in range(dim):
         mn, mx = stats[j]
-        x = f"cast(try_element_at({sql_ident(vec_col)}, {j + 1}) AS double)"
-        if mn is None or mx is None or mx == mn:
-            q = "0"
-        else:
-            scaled = f"(({x}) - {mn!r}D) / {(mx - mn)!r}D * {levels}.0D"
-            q = f"cast(floor({scaled} + 0.5D) AS int)"
-        structs.append(f"named_struct('dim', {j}, 'q', {q})")
+        degenerate = mn is None or mx is None or mx == mn
+        mins.append(None if degenerate else mn)
+        rngs.append(None if degenerate else mx - mn)
+
+    def dlit(v: float | None) -> str:
+        return "cast(NULL AS double)" if v is None else f"{v!r}D"
+
+    mins_lit = f"array({', '.join(dlit(v) for v in mins)})"
+    rngs_lit = f"array({', '.join(dlit(v) for v in rngs)})"
+    x = f"cast(try_element_at({sql_ident(vec_col)}, j) AS double)"
+    scaled = f"(({x}) - element_at({mins_lit}, j)) / element_at({rngs_lit}, j) * {levels}.0D"
+    q_arr = (
+        f"transform(sequence(1, {dim}), j -> "
+        f"CASE WHEN element_at({rngs_lit}, j) IS NULL THEN 0 "
+        f"ELSE cast(floor({scaled} + 0.5D) AS int) END)"
+    )
     return embs.selectExpr(
         f"{sql_ident(id_col)} AS id",
-        f"explode(array({', '.join(structs)})) AS kv",
-    ).selectExpr("id", "kv.dim AS dim", "kv.q AS q").select(*QUANT_COLS)
+        f"posexplode({q_arr}) AS (dim, q)",
+    ).select(*QUANT_COLS)
 
 
 def quantize_embeddings_sql(
