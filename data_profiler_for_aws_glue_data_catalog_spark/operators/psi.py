@@ -90,7 +90,15 @@ def psi(
     cur_counts = counts(current, "c")
     joined = ref_counts.crossJoin(F.broadcast(cur_counts))
 
-    structs = []
+    # Two projections, not one: the raw bins-term PSI sum is computed
+    # ONCE per column here, and the struct/inline stage below references
+    # the alias.  Folding everything into the inline() Generate repeated
+    # the 10-term sum 5x per column (round + null guard + 3 CASE arms)
+    # on top of the 22-per-column count inputs, and the single generated
+    # method blew Janino's 64 KB limit — whole-stage silently fell back
+    # to interpreted.  (CollapseProject keeps the split: a non-cheap
+    # alias referenced more than once is not inlined.)
+    raw_exprs = []
     for c in columns:
         i = _a(c, columns)
         mn, mx = bounds_row[f"mn_{i}"], bounds_row[f"mx_{i}"]
@@ -103,18 +111,26 @@ def psi(
                 q = f"(cast(cc_{i}_{k} AS double) / cast(cn_{i} AS double) + {EPS!r})"
                 terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
             psi_sql = " + ".join(terms)
+        raw_exprs.append(f"cast({psi_sql} AS double) AS psi_raw_{i}")
+    raw = joined.selectExpr(*raw_exprs)
+
+    structs = []
+    for c in columns:
+        i = _a(c, columns)
+        # drift_class thresholds compare the UNROUNDED psi (oracle
+        # parity); only the emitted value is ROUND6'd
         cls = (
-            f"CASE WHEN ({psi_sql}) IS NULL THEN 'undefined' "
-            f"WHEN ({psi_sql}) < 0.1 THEN 'stable' "
-            f"WHEN ({psi_sql}) < 0.25 THEN 'moderate' "
+            f"CASE WHEN psi_raw_{i} IS NULL THEN 'undefined' "
+            f"WHEN psi_raw_{i} < 0.1 THEN 'stable' "
+            f"WHEN psi_raw_{i} < 0.25 THEN 'moderate' "
             "ELSE 'shifted' END"
         )
         structs.append(
             f"named_struct('column', '{c}', 'n_bins', {bins}, "
-            f"'psi', cast({ROUND6.format(x=psi_sql)} AS double), "
+            f"'psi', cast({ROUND6.format(x=f'psi_raw_{i}')} AS double), "
             f"'drift_class', {cls})"
         )
-    return joined.selectExpr(
+    return raw.selectExpr(
         f"inline(array({', '.join(structs)}))"
     ).select(*PSI_COLS)
 
