@@ -80,7 +80,11 @@ def detect_anomalies(
     ).withColumn("_max_ts", F.max("_ts").over(Window.partitionBy(*keys)))
 
     base = "_ts < _max_ts"
-    in_dom = f"coalesce(max(abs(_v)) FILTER (WHERE {base}) < {_SQ_GUARD}, false)"
+    _ma = f"max(abs(_v)) FILTER (WHERE {base})"
+    in_dom = (
+        f"coalesce({_ma} < {_SQ_GUARD} AND ({_ma} >= 1e-3 OR {_ma} = 0), "
+        f"false)"
+    )
     s_dec = (
         f"cast(sum(cast(_v AS {_SUM_DEC})) FILTER (WHERE {base}) AS double)"
     )

@@ -51,12 +51,23 @@ ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
 _SUM_DEC_SPARK = "decimal(27,6)"
 _SUM_DEC_DUCK = "DECIMAL(27,6)"
 _SUM_GUARD = "1e21"
+_SUM_FLOOR = "1e-3"  # below: 6-dp rounding dominates -> IEEE branch
+
+
+def _in_domain(c: str) -> str:
+    # Dialect-neutral (both engines are case-insensitive for keywords):
+    # two-sided decimal domain, matching scan_metrics._in_domain_sql.
+    m = f"max(abs({c}))"
+    return (
+        f"coalesce({m} < {_SUM_GUARD} AND ({m} >= {_SUM_FLOOR} OR {m} = 0), "
+        f"false)"
+    )
 
 
 def _det_sum_spark(c: str) -> str:
     dec = f"cast(sum(try_cast({c} AS {_SUM_DEC_SPARK})) AS double)"
     return (
-        f"CASE WHEN coalesce(max(abs({c})) < {_SUM_GUARD}, false) THEN {dec} "
+        f"CASE WHEN {_in_domain(c)} THEN {dec} "
         f"ELSE sum(cast({c} AS double)) END"
     )
 
@@ -64,7 +75,7 @@ def _det_sum_spark(c: str) -> str:
 def _det_sum_duck(c: str) -> str:
     dec = f"CAST(SUM(CAST({c} AS {_SUM_DEC_DUCK})) AS DOUBLE)"
     return (
-        f"CASE WHEN COALESCE(MAX(ABS({c})) < {_SUM_GUARD}, FALSE) THEN {dec} "
+        f"CASE WHEN {_in_domain(c)} THEN {dec} "
         f"ELSE SUM(CAST({c} AS DOUBLE)) END"
     )
 
@@ -75,7 +86,7 @@ def _det_mean_spark(c: str) -> str:
         f"count({c}))"
     )
     return (
-        f"CASE WHEN coalesce(max(abs({c})) < {_SUM_GUARD}, false) THEN {dec} "
+        f"CASE WHEN {_in_domain(c)} THEN {dec} "
         f"ELSE avg(cast({c} AS double)) END"
     )
 
@@ -86,7 +97,7 @@ def _det_mean_duck(c: str) -> str:
         f"/ NULLIF(COUNT({c}), 0)"
     )
     return (
-        f"CASE WHEN COALESCE(MAX(ABS({c})) < {_SUM_GUARD}, FALSE) THEN {dec} "
+        f"CASE WHEN {_in_domain(c)} THEN {dec} "
         f"ELSE AVG(CAST({c} AS DOUBLE)) END"
     )
 

@@ -55,6 +55,7 @@ from data_profiler_for_aws_glue_data_catalog_spark.operators.scan_metrics import
     SQ_DECIMAL,
     SUM_DECIMAL,
     _SQ_GUARD_SQL,
+    _SUM_FLOOR_SQL,
     _SUM_GUARD_SQL,
 )
 from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import (
@@ -170,8 +171,9 @@ def scan_metrics_from_states(merged: DataFrame) -> DataFrame:
     profile — and to its DuckDB oracle. Excludes sketch metrics (see
     approx_distinct_from_states) and frequency metrics.
     """
-    sum_guard = f"coalesce(max_abs < {_SUM_GUARD_SQL}, false)"
-    sq_guard = f"coalesce(max_abs < {_SQ_GUARD_SQL}, false)"
+    floor = f"(max_abs >= {_SUM_FLOOR_SQL} OR max_abs = 0)"
+    sum_guard = f"coalesce(max_abs < {_SUM_GUARD_SQL} AND {floor}, false)"
+    sq_guard = f"coalesce(max_abs < {_SQ_GUARD_SQL} AND {floor}, false)"
     n = "cast(n_nonnull AS double)"
     sx = "cast(sum_dec AS double)"
     sx2 = "cast(sumsq_dec AS double)"

@@ -84,6 +84,9 @@ SUM_GUARD = 1e21  # decimal(27,6) integral headroom
 SQ_GUARD = 1e12  # decimal(18,6) integral headroom (squares)
 _SUM_GUARD_SQL = "1e21"
 _SQ_GUARD_SQL = "1e12"
+# Resolution floor: below this magnitude the 6-dp rounding dominates the
+# values themselves, so the decimal branch is disabled (see _in_domain_sql).
+_SUM_FLOOR_SQL = "1e-3"
 
 
 @dataclass
@@ -116,7 +119,18 @@ class _Batch:
 def _in_domain_sql(c: str, limit: str) -> str:
     # NULL max (all-null column) -> NULL predicate -> fallback branch,
     # which also returns NULL there. Coalesce keeps intent explicit.
-    return f"coalesce(max(abs({c})) < {limit}, false)"
+    # Two-sided domain: the decimal path rounds inputs to 6 dp, so a
+    # column whose largest magnitude sits below the resolution floor
+    # (0 < max|x| < 1e-3) would quantize to garbage — an all-tiny column
+    # collapses to Sum/Mean 0.0, outside [Minimum, Maximum]. Such columns
+    # take the IEEE branch. All-zero columns stay decimal (exact either
+    # way); integer columns are never in (0, 1e-3) so only fractional
+    # doubles can switch.
+    m = f"max(abs({c}))"
+    return (
+        f"coalesce({m} < {limit} AND ({m} >= {_SUM_FLOOR_SQL} OR {m} = 0), "
+        f"false)"
+    )
 
 
 def _det_sum_sql(c: str) -> str:

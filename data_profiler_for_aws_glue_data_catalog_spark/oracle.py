@@ -124,6 +124,10 @@ def size_sql(table: str) -> str:
 # that the fixed testdata never contains.
 _SUM_GUARD = "1e21"
 _SQ_GUARD = "1e12"
+# keep in sync with scan_metrics._SUM_FLOOR_SQL: columns entirely below the
+# 6-dp resolution floor (0 < max|x| < 1e-3) take the IEEE branch instead of
+# quantizing to zero.
+_DEC_FLOOR = "1e-3"
 
 
 def _sum_dec_raw(c: str) -> str:
@@ -134,9 +138,10 @@ def _sum_dec_raw(c: str) -> str:
 
 
 def _guarded(c: str, limit: str, dec_branch: str, fallback: str) -> str:
+    m = f"MAX(ABS({c}))"
     return (
-        f"CASE WHEN COALESCE(MAX(ABS({c})) < {limit}, FALSE) "
-        f"THEN {dec_branch} ELSE {fallback} END"
+        f"CASE WHEN COALESCE({m} < {limit} AND ({m} >= {_DEC_FLOOR} OR {m} = 0), "
+        f"FALSE) THEN {dec_branch} ELSE {fallback} END"
     )
 
 

@@ -895,7 +895,8 @@ def metric_anomalies_sql(
     )
     v6 = round6_sql("CAST(value AS DOUBLE)")
     base = "ts < mx"
-    in_dom = f"COALESCE(MAX(ABS(v)) FILTER (WHERE {base}) < 1e12, FALSE)"
+    _ma = f"MAX(ABS(v)) FILTER (WHERE {base})"
+    in_dom = f"COALESCE({_ma} < 1e12 AND ({_ma} >= 1e-3 OR {_ma} = 0), FALSE)"
     s_dec = f"CAST(SUM(TRY_CAST(v AS DECIMAL(27,6))) FILTER (WHERE {base}) AS DOUBLE)"
     sq = "CAST(TRY_CAST(v AS DECIMAL(18,6)) AS DECIMAL(19,6))"
     s2_dec = (

@@ -133,6 +133,29 @@ def test_decimal_overflow_guard_huge_sum(spark):
     assert m[("x", "Mean")] == 1.5e22
 
 
+def test_decimal_resolution_floor_tiny_values(spark):
+    # A column entirely below the 6-dp resolution (0 < max|x| < 1e-3) must
+    # take the IEEE branch: the decimal path would round every value to 0
+    # and report Mean = 0.0 OUTSIDE [Minimum, Maximum] (Hypothesis-found:
+    # rows [-4.76837158203125e-07, -4.70197740328915e-38]).
+    vals = [-4.76837158203125e-07, -4.70197740328915e-38]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("x", "Sum")] == sum(vals)
+    assert m[("x", "Minimum")] <= m[("x", "Mean")] <= m[("x", "Maximum")]
+    assert m[("x", "StandardDeviation")] > 0.0
+
+
+def test_all_zero_column_stays_exact(spark):
+    # max|x| = 0 is NOT below the floor: both branches are exact there and
+    # the decimal path keeps the cross-engine determinism contract.
+    df = spark.createDataFrame([(0.0,), (0.0,), (0.0,)], "x double")
+    m = metrics_dict(scan_metrics_long(df).collect())
+    assert m[("x", "Sum")] == 0.0
+    assert m[("x", "Mean")] == 0.0
+    assert m[("x", "StandardDeviation")] == 0.0
+
+
 def test_approx_count_distinct_tolerance(spark, lineitem):
     # |ACD - exact| <= 3 * rsd * exact at the default rsd=0.05
     m = metrics_dict(scan_metrics_long(lineitem).collect())
