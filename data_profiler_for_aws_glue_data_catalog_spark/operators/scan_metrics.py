@@ -162,6 +162,15 @@ def _stddev_pop_sql(c: str) -> str:
     (NOT Spark's sample-stddev default). Values beyond the decimal domain
     (|x| >= 1e12) switch to the IEEE stddev_pop fallback — see SQ_GUARD.
 
+    Precision contract: the single-pass moment formula has the classic
+    cancellation floor — when sd << sqrt(eps * m2) (near-constant column
+    at high magnitude, m2 = second moment), the result is numerical noise
+    of order sqrt(eps*m2), in this engine, in the reference's double
+    moments, and in any other single-pass implementation. Cross-engine
+    agreement below that floor is likewise bounded by it (the oracle's
+    scale-12 decimal->double cast is double-rounded; see oracle._stddev_sql
+    and tests/test_differential_profile.py).
+
     sx is the SAME expression as _det_sum_sql's decimal branch, so Catalyst
     dedups the two into one aggregate buffer (same value: both round the
     input to 6 dp before the exact sum).

@@ -164,7 +164,12 @@ def _stddev_sql(c: str) -> str:
     sx = _sum_dec_raw(c)
     n = f"CAST(COUNT({c}) AS DOUBLE)"
     # ROUND(_, 6): decimal->double of the scale-12 moment is double-rounded
-    # in DuckDB vs single-rounded in the JVM; 6-dp comparison absorbs the ulp
+    # in DuckDB vs single-rounded in the JVM; 6-dp comparison absorbs the
+    # ulp — EXCEPT in the near-constant high-magnitude regime, where the
+    # (sx2 - sx^2/n) cancellation amplifies it to ~sqrt(eps*m2) (e.g.
+    # [1e6, 999999.999999] -> 0.0 vs 0.011). Below that floor single-pass
+    # SD is numerical noise in any engine; the fixed testdata never enters
+    # the regime, and tests/test_differential_profile.py encodes the bound.
     dec = (
         f"CASE WHEN COUNT({c}) > 0 THEN "
         f"SQRT(GREATEST(({sx2} - ({sx} * {sx}) / {n}) / {n}, 0.0)) END"
