@@ -18,6 +18,7 @@ Usage:  python scripts/check_correctness.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -26,7 +27,23 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-SF = "/root/testdata/sf0.01"
+# Override to run the same gate against another table dir (e.g. a
+# fuzz-generated one from scripts/fuzz_correctness.py).
+SF = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+
+# Fuzz mode (scripts/fuzz_correctness.py sets this): mutated content can
+# legitimately hit the two DOCUMENTED cross-engine divergence classes that
+# the fixed testdata never reaches —
+#   ulp6:     a ROUND6 libm value landing on a .5-ulp rounding boundary
+#             (JVM ln/sqrt vs libm differ by 1 in the 6th decimal);
+#   sd_floor: StandardDeviation inside the single-pass-moment cancellation
+#             floor (see oracle._stddev_sql / SURVEY §5.5) — bounded by
+#             1e-7*sqrt(m2), <= 1e-3 at this data's magnitudes.
+# With TOLERANT=1 a mismatch whose every cell falls in a known class is
+# reported as WARN, not FAIL. The strict default (the driver-gate replica)
+# is unchanged: the driver hash has no tolerance, and the fixed testdata
+# must stay byte-exact.
+TOLERANT = os.environ.get("SPARK_GRAFT_CHECK_TOLERANT") == "1"
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -53,6 +70,22 @@ def cell_eq(a, b) -> bool:
     except (TypeError, ValueError):
         pass
     return a == b
+
+
+def _known_class(frame: pd.DataFrame, i: int, c, va, vb) -> str | None:
+    try:
+        diff = abs(float(va) - float(vb))
+    except (TypeError, ValueError):
+        return None
+    if diff <= 1.05e-6:
+        return "ulp6"
+    if (
+        "name" in frame.columns
+        and frame["name"].iloc[i] == "StandardDeviation"
+        and diff <= 1e-3
+    ):
+        return "sd_floor"
+    return None
 
 
 def main() -> int:
@@ -111,6 +144,17 @@ def main() -> int:
                 if not cell_eq(va, vb):
                     bad.append((i, c, va, vb))
         if bad:
+            if TOLERANT:
+                kinds = [_known_class(a, i, c, va, vb) for i, c, va, vb in bad]
+                if all(kinds):
+                    from collections import Counter
+
+                    print(
+                        f"WARN  {name}: {len(bad)} known-class cells "
+                        f"({dict(Counter(kinds))}) — documented divergence, "
+                        f"not counted as failure"
+                    )
+                    continue
             print(f"FAIL  {name}: value mismatch, {len(bad)} cells; first: {bad[:5]}")
             failures += 1
             continue

@@ -1,0 +1,145 @@
+"""Content-fuzzed correctness gate: the full registered query surface vs
+its DuckDB oracles on MUTATED testdata, not just the fixed tables.
+
+The fixed-testdata gate (check_correctness.py) proves cross-engine
+exactness on one specific dataset; this script perturbs that dataset —
+seeded, reproducibly — and re-runs the same gate, so content assumptions
+hiding in any of the ~205 hashed queries (tie-breaks that only hold for
+unique keys, NULL handling that testdata never exercises, numeric edge
+branches) surface as FAIL rows.
+
+Mutations (all in DuckDB SQL under ``setseed``, so types — including
+FLOAT[] embeddings and microsecond timestamps — survive unchanged):
+
+  - row subsample WITHOUT replacement (primary keys stay unique);
+  - numeric attribute scale/shift (guard domains preserved);
+  - ~3% NULL injection into non-key attribute columns;
+  - timestamp jitter within +/- 12h (windowed/retention queries stay
+    populated, original month-scale range preserved);
+  - elementwise noise + occasional all-zero vectors in embeddings.
+
+Vocabularies (event_type, lang, o_orderstatus, ...) are untouched: many
+queries filter on those literals, and the point is to fuzz content the
+queries actually read.
+
+Usage:
+  python scripts/fuzz_correctness.py --seed 1 [--outdir DIR] [query ...]
+
+Generates DIR (default /tmp/fuzzdata-seed<N>) then execs the standard
+gate with SPARK_GRAFT_CHECK_SF=DIR; exit code is the gate's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import subprocess
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+
+# (table, pk columns never nulled/perturbed, mutation select-list override)
+# Columns not mentioned in OVERRIDES pass through unchanged.
+NULLABLE = {
+    "customer": ["c_acctbal", "c_mktsegment"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice", "p_type"],
+    "orders": ["o_totalprice", "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_tax"],
+    "events": ["value", "props"],
+    "documents": ["lang", "source"],
+}
+PERTURB = {  # col -> expression template ({c} = column)
+    "c_acctbal": "{c} * (0.5 + random()) - 500.0",
+    "s_acctbal": "{c} * (0.5 + random())",
+    "p_retailprice": "{c} * (0.8 + 0.4 * random())",
+    "o_totalprice": "{c} * (0.5 + random())",
+    "l_quantity": "CASE WHEN random() < 0.02 THEN 0.0 ELSE {c} END",
+    "l_extendedprice": "{c} * (0.9 + 0.2 * random())",
+    "value": "{c} * (2.0 * random()) - 0.5 * {c}",
+    "n_chars": "GREATEST({c} + CAST(floor(random() * 21 - 10) AS BIGINT), 0)",
+}
+TS_JITTER = {
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+    "events": "ts",
+}
+SAMPLE_FRAC = {"region": 1.0, "nation": 1.0}  # tiny dims: keep whole
+
+
+def build_dir(outdir: str, seed: int) -> None:
+    con = duckdb.connect()
+    # one seeded stream for the whole build: fully reproducible per seed
+    con.execute(f"SELECT setseed({(seed % 997) / 997.0})")
+    pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        cols = [
+            r[0]
+            for r in con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+        ]
+        sel = []
+        for c in cols:
+            expr = c
+            if c in PERTURB:
+                expr = PERTURB[c].format(c=c)
+            if t in TS_JITTER and c == TS_JITTER[t]:
+                expr = (
+                    f"({c} + to_microseconds("
+                    f"CAST(floor((random() * 24.0 - 12.0) * 3.6e9) AS BIGINT)))"
+                )
+            if t == "embeddings" and c == "embedding":
+                expr = (
+                    "CASE WHEN random() < 0.02 "
+                    "THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT)) "
+                    "ELSE list_transform(embedding, "
+                    "x -> CAST(x + (random() - 0.5) * 0.01 AS FLOAT)) END"
+                )
+            if c in NULLABLE.get(t, []):
+                expr = f"CASE WHEN random() < 0.03 THEN NULL ELSE ({expr}) END"
+            sel.append(f"({expr}) AS {c}")
+        frac = SAMPLE_FRAC.get(t, 0.7)
+        where = "TRUE" if frac >= 1.0 else f"random() < {frac}"
+        src_cols = ", ".join(sel)
+        con.execute(
+            f"COPY (SELECT {src_cols} FROM '{SRC}/{t}.parquet' WHERE {where}) "
+            f"TO '{outdir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        # type check: mutated file must match the source schema exactly
+        a = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+        b = con.sql(f"DESCRIBE SELECT * FROM '{outdir}/{t}.parquet'").fetchall()
+        if [(x[0], x[1]) for x in a] != [(x[0], x[1]) for x in b]:
+            raise SystemExit(f"schema drift in mutated {t}: {a} vs {b}")
+        n = con.sql(f"SELECT COUNT(*) FROM '{outdir}/{t}.parquet'").fetchone()[0]
+        print(f"built {t}: {n} rows")
+    con.close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+    outdir = args.outdir or f"/tmp/fuzzdata-seed{args.seed}"
+    build_dir(outdir, args.seed)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CHECK_SF=outdir,
+        SPARK_GRAFT_CHECK_TOLERANT="1",
+    )
+    return subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "check_correctness.py"),
+         *args.queries],
+        env=env,
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
