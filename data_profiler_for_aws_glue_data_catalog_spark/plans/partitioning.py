@@ -38,21 +38,29 @@ def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Persist + eagerly populate: guarantees a shared expensive subtree is
-    computed exactly ONCE.
+    """Eagerly materialize a shared expensive subtree so it is computed
+    exactly ONCE.
 
     A lazy ``persist()`` alone is not enough when the consumers are
     *concurrent*: AQE submits independent stage futures (both sides of a
     self-join, a broadcast build, a subquery) at the same time, and every
     one of them finds the cache unpopulated and recomputes the subtree —
-    measured at sf0.1 this multiplies the dominant map stage 2-4x. The
-    eager count pays one extra pass over the (small) persisted relation and
-    removes all recompute. Same pattern a 100 TB pipeline uses: checkpoint
-    the inverted index / signature / normed-vector relation, then fan out.
+    measured at sf0.1 this multiplies the dominant map stage 2-4x. Same
+    pattern a 100 TB pipeline uses: checkpoint the inverted index /
+    signature / normed-vector relation, then fan out.
+
+    ``localCheckpoint(eager=True)`` rather than ``persist()+count()``:
+    a persisted relation lives in the session's CacheManager until an
+    explicit unpersist — and operators cannot unpersist, because their
+    lazy result still references the subtree when they return. In a
+    long-lived session (a 181-query bench loop, a profiling service)
+    those entries accumulate without bound; checkpoint blocks are instead
+    reclaimed once the result frame is dereferenced. Lineage truncation
+    also FAILS the job on block loss instead of silently recomputing a
+    subtree whose outputs (e.g. pinned partition ids) must not change —
+    recompute-different-answers is the worse failure mode here.
     """
-    df = df.persist()
-    df.count()
-    return df
+    return df.localCheckpoint(eager=True)
 
 
 def partitioned_prefix_sums(
