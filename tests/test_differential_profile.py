@@ -29,6 +29,8 @@ unicode text, negative/zero/boundary numerics.
 
 from __future__ import annotations
 
+import datetime as dt
+
 import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -91,6 +93,77 @@ def _oracle_profile(rows):
         (r.instance, r.name): (None if pd.isna(r.value) else float(r.value))
         for r in out.itertuples()
     }
+
+
+_conv_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(st.none(), st.dates(min_value=dt.date(2020, 1, 1),
+                                      max_value=dt.date(2026, 12, 31))),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_conv_rows)
+def test_convert_path_matches_oracle(spark, rows):
+    """boolean/date columns profile through the string-convert sweep
+    (types.cast_convertibles); the oracle casts the same columns to
+    VARCHAR — both engines render 'true'/'false' and ISO dates, so every
+    text metric (lengths, freq family, histogram) must agree exactly."""
+    df = spark.createDataFrame(rows, "b boolean, d date")
+    cfg = ProfilerConfig(compute_expensive=True, profile_unsupported_types=True)
+    m = profile_table(df, cfg, include_approx=False)
+    m = m.withColumn(
+        "value",
+        F.when(F.col("name").isin(*_ROUNDED), F.round(F.col("value"), 6)).otherwise(
+            F.col("value")
+        ),
+    )
+    got = {(r["instance"], r["name"]): r["value"] for r in m.collect()}
+
+    pdf = pd.DataFrame(
+        {
+            "b": pd.array([r[0] for r in rows], dtype="boolean"),
+            "d": pd.Series([r[1] for r in rows], dtype="object"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("raw", pdf)
+    con.execute(
+        "CREATE VIEW t AS SELECT CAST(b AS VARCHAR) AS b, "
+        "CAST(CAST(d AS DATE) AS VARCHAR) AS d FROM raw"
+    )
+    parts = [orc.size_sql("t")]
+    for c in ("b", "d"):
+        parts += orc.scan_metric_rows("t", c, orc.TEXT, "string")
+        parts.append(f"SELECT * FROM ({orc.freq_metrics_sql('t', c, 'string')})")
+        parts.append(f"SELECT * FROM ({orc.histogram_sql('t', c, 'string', 10)})")
+    sql = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    out = con.execute(sql).df()
+    con.close()
+    want = {
+        (r.instance, r.name): (None if pd.isna(r.value) else float(r.value))
+        for r in out.itertuples()
+    }
+    assert set(got) == set(want), (
+        f"only-spark={sorted(set(got) - set(want))[:5]} "
+        f"only-oracle={sorted(set(want) - set(got))[:5]}"
+    )
+    for key in sorted(want):
+        g, w = got[key], want[key]
+        if g is None or w is None:
+            assert g is None and w is None, f"{key}: spark={g} oracle={w}"
+        elif key[1] == "Entropy":
+            assert abs(g - w) <= 1.1e-6, f"{key}: spark={g} oracle={w}"
+        else:
+            assert g == w, f"{key}: spark={g!r} oracle={w!r}"
 
 
 def test_sd_cancellation_floor_documented(spark):
