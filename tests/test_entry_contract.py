@@ -32,3 +32,20 @@ def test_oracles_are_nonempty_sql():
     m = _entry()
     for name, sql in m.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_gate_priority_window_is_intact():
+    """The driver hash-gates the first ~50 registered queries; queries()
+    front-loads _GATE_PRIORITY into that window.  The `if k in q` guard in
+    queries() means a typo'd or renamed priority entry would be dropped
+    SILENTLY, sliding the window onto unintended queries — pin it here."""
+    m = _entry()
+    q = m.queries()
+    gp = m._GATE_PRIORITY
+    missing = [k for k in gp if k not in q]
+    assert not missing, f"_GATE_PRIORITY names not registered: {missing}"
+    assert len(gp) == len(set(gp)) == 50, "driver gate window is ~50 queries"
+    assert list(q)[: len(gp)] == gp
+    # every gated query must be hash-checked (oracle present), not rows-only
+    os_ = m.oracle_sql()
+    assert [k for k in gp if k not in os_] == []
