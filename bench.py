@@ -268,6 +268,13 @@ def main() -> None:
     for name, s in samples.items():
         if max(s) > 2 * min(s):  # one pass likely hit a host stall
             s.append(run_one(name))
+    # The headline total is dominated by the slowest queries, and a
+    # correlated host-slow window (the documented ~3x band) can inflate
+    # BOTH sweeps of one query with an unchanged plan — low spread, so
+    # neither min-of-2 nor the stall tie-breaker recovers it. Give the
+    # top contributors one more, later, sample each.
+    for name in sorted(samples, key=lambda n: min(samples[n]), reverse=True)[:10]:
+        samples[name].append(run_one(name))
     timings = {name: min(s) for name, s in samples.items()}
     # Per-query spread (max/min over the samples that produced the min):
     # on this shared host a ratio up to ~3x with identical plans is
@@ -283,7 +290,8 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     protocol = {
-        "samples_per_query": "min of 2; +1 tie-breaker pass when max > 2*min",
+        "samples_per_query": "min of 2; +1 tie-breaker pass when max > "
+        "2*min; +1 late pass for the 10 slowest (correlated-stall guard)",
         "expected_noise_band": "per-query spread up to ~3x on this host; "
         "treat min-timing drift within it as noise",
     }
