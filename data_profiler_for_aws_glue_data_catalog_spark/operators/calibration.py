@@ -76,9 +76,14 @@ def calibration_curve(
 def calibration_curve_sql(
     table: str, score_col: str, label_sql: str, n_buckets: int = 10
 ) -> str:
-    """DuckDB mirror: quantile_cont edges (type-7, = Spark percentile)
-    and the same bucket comparison chain."""
-    probs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    """DuckDB mirror: Spark-exact percentile edges (see
+    ``oracle.spark_percentile_edges_select`` — quantile_cont rounds 1 ulp
+    below Spark when both bracketing order statistics are equal, and the
+    edge here is a raw ``>`` bucket boundary) and the same bucket
+    comparison chain."""
+    from data_profiler_for_aws_glue_data_catalog_spark.oracle import spark_percentile_edges_select
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
     bucket = " + ".join(
         f"(CASE WHEN s > e[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(n_buckets - 1)
@@ -89,7 +94,7 @@ WITH base AS (
     CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y
   FROM {table} WHERE {score_col} IS NOT NULL
 ),
-edges AS (SELECT quantile_cont(s, [{probs}]) AS e FROM base),
+edges AS ({spark_percentile_edges_select("base", "s", probs)}),
 binned AS (
   SELECT ({bucket}) AS bucket, s, y FROM base CROSS JOIN edges
 )

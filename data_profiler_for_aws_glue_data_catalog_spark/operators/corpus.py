@@ -116,10 +116,17 @@ def curriculum_assign_sql(
     id_col: str = "doc_id",
     seed: int = 0,
 ) -> str:
-    """DuckDB mirror of :func:`curriculum_assign`."""
+    """DuckDB mirror of :func:`curriculum_assign`.
+
+    Band edges use :func:`oracle.spark_percentile_edges_select`, NOT
+    ``quantile_cont``: the edge is a raw ``>`` boundary, and DuckDB's
+    interpolation rounds 1 ulp below Spark's when both bracketing order
+    statistics are the same repeated value (sf0.1 quality p=0.8 edge —
+    5 docs sat exactly on it and flipped band)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.oracle import spark_percentile_edges_select
     from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import quality_score_sql
 
-    probs = ", ".join(repr(i / n_bands) for i in range(1, n_bands))
+    probs = [i / n_bands for i in range(1, n_bands)]
     band = " + ".join(
         f"(CASE WHEN quality > e[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(n_bands - 1)
@@ -135,7 +142,7 @@ WITH q AS (
   SELECT {id_col} AS doc_id, quality
   FROM ({quality_score_sql(table, text_col, id_col)})
 ),
-edges AS (SELECT quantile_cont(quality, [{probs}]) AS e FROM q)
+edges AS ({spark_percentile_edges_select("q", "quality", probs)})
 SELECT doc_id, quality, ({band}) AS band,
   CAST({terms} AS BIGINT) AS shuffle_key
 FROM q CROSS JOIN edges

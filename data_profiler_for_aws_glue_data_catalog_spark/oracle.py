@@ -106,6 +106,47 @@ def sq_operand_sql(c: str) -> str:
     return f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS {_SQ_DEC})"
 
 
+def spark_percentile_edges_select(src: str, col: str, probs: list[float]) -> str:
+    """DuckDB SELECT producing a one-row list column ``e`` that is
+    BIT-IDENTICAL to Spark ``percentile({col}, array({probs}))`` over
+    relation ``src``.
+
+    DuckDB's ``quantile_cont`` is NOT that: both engines use the
+    symmetric type-7 interpolation ``lo*(hi-pos) + hi*(pos-lo)``, but
+    Spark's Percentile (sql/catalyst Percentile.scala) short-circuits
+    ``if (higherKey == lowerKey) return lowerKey`` when both bracketing
+    order statistics are the same repeated value k, while quantile_cont
+    computes ``k*(hi-pos) + k*(pos-lo)`` — which can round 1 ulp BELOW
+    k (observed at sf0.1: quality p=0.8 edge, 5 docs exactly at k, all
+    flipped band under a ``> edge`` comparison).  Any oracle that uses a
+    quantile as a raw set-membership boundary must use this mirror (or
+    ROUND6 the edge on both sides); see SURVEY §5 determinism policy.
+
+    The emitted arithmetic is exactly Spark's: pos = p * (n-1) with n
+    BIGINT promoted to double, floor/ceil brackets, and the weighted sum
+    in the same operand order — IEEE doubles make the results identical.
+    NULLs are excluded as Spark's percentile does.
+    """
+    edges = []
+    for p in probs:
+        # CAST: DuckDB parses 0.6 as DECIMAL(2,1) and would compute the
+        # position in exact decimal arithmetic; Spark's literal is a
+        # double, so the position must be the IEEE product.
+        pos = f"CAST({p!r} AS DOUBLE) * (n - 1)"
+        lo = f"a[CAST(floor({pos}) AS BIGINT) + 1]"
+        hi = f"a[CAST(ceil({pos}) AS BIGINT) + 1]"
+        edges.append(
+            f"CASE WHEN {lo} = {hi} THEN {lo} "
+            f"ELSE {lo} * (ceil({pos}) - ({pos})) "
+            f"+ {hi} * (({pos}) - floor({pos})) END"
+        )
+    return (
+        f"SELECT [{', '.join(edges)}] AS e FROM ("
+        f"SELECT list_sort(list({col})) AS a, COUNT({col}) AS n "
+        f"FROM {src} WHERE {col} IS NOT NULL)"
+    )
+
+
 def _row(entity: str, instance: str, name: str, value_sql: str, typ: str | None) -> str:
     t = "CAST(NULL AS VARCHAR)" if typ is None else f"'{typ}'"
     return (
