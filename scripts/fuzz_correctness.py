@@ -24,6 +24,10 @@ queries actually read.
 
 Usage:
   python scripts/fuzz_correctness.py --seed 1 [--outdir DIR] [query ...]
+  SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
+  (content randomization at larger scale is the axis that found the
+  curriculum_documents percentile-edge flip — more rows, more chances
+  for a value to land exactly on a quantile/fence boundary)
 
 Generates DIR (default /tmp/fuzzdata-seed<N>) then execs the standard
 gate with SPARK_GRAFT_CHECK_SF=DIR; exit code is the gate's.
@@ -39,7 +43,7 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("SPARK_GRAFT_FUZZ_SRC", "/root/testdata/sf0.001")
 
 # (table, pk columns never nulled/perturbed, mutation select-list override)
 # Columns not mentioned in OVERRIDES pass through unchanged.
