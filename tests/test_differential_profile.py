@@ -30,6 +30,7 @@ unicode text, negative/zero/boundary numerics.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import duckdb
 import pandas as pd
@@ -106,8 +107,13 @@ _conv_rows = st.lists(
 )
 
 
+# CI default keeps the suite fast; a soak run multiplies examples:
+#   SPARK_GRAFT_DIFF_EXAMPLES=200 pytest tests/test_differential_profile.py
+_EXAMPLES = int(os.environ.get("SPARK_GRAFT_DIFF_EXAMPLES", "0"))
+
+
 @settings(
-    max_examples=8,
+    max_examples=_EXAMPLES or 8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -184,7 +190,7 @@ def _sd_tol(rows, col_idx):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_EXAMPLES or 10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
