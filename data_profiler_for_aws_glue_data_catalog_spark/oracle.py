@@ -125,7 +125,16 @@ def spark_percentile_edges_select(src: str, col: str, probs: list[float]) -> str
     The emitted arithmetic is exactly Spark's: pos = p * (n-1) with n
     BIGINT promoted to double, floor/ceil brackets, and the weighted sum
     in the same operand order — IEEE doubles make the results identical.
-    NULLs are excluded as Spark's percentile does.
+    NULLs are excluded as Spark's percentile does; on an EMPTY relation
+    the whole list is NULL, matching Spark's NULL result (not
+    [NULL, ...]).
+
+    ORACLE-PATH ONLY: ``list_sort(list(col))`` materializes the whole
+    column into one list value — O(n) memory in a single DuckDB row,
+    unlike the streaming ``quantile_cont`` it replaces. Fine for the
+    sf0.01/sf0.1 oracle comparisons this backs (and the only way to get
+    bit-parity); never a pattern for the Spark side, whose scale default
+    is percentile_approx (see tests/test_plans.py plan contract).
     """
     edges = []
     for p in probs:
@@ -141,8 +150,8 @@ def spark_percentile_edges_select(src: str, col: str, probs: list[float]) -> str
             f"+ {hi} * (({pos}) - floor({pos})) END"
         )
     return (
-        f"SELECT [{', '.join(edges)}] AS e FROM ("
-        f"SELECT list_sort(list({col})) AS a, COUNT({col}) AS n "
+        f"SELECT CASE WHEN n = 0 THEN NULL ELSE [{', '.join(edges)}] END AS e "
+        f"FROM (SELECT list_sort(list({col})) AS a, COUNT({col}) AS n "
         f"FROM {src} WHERE {col} IS NOT NULL)"
     )
 

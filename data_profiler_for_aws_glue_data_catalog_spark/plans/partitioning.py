@@ -19,20 +19,109 @@ collapse a small-but-CPU-expensive stage back to one task.
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size config value ("128m", "4194304b", "1g")."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s) * mult)
+
+
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Planning-free estimate of ``df``'s scan parallelism.
+
+    ``inputFiles()`` walks the ANALYZED plan's file indexes — a driver-side
+    listing, no physical planning, no job, and (unlike ``df.rdd``) no
+    pinning of the pre-AQE partition count.  From the file list:
+
+      - remote store (s3://, hdfs://, ...): return the file count.  A
+        lower bound on splits — at 100 TB there are thousands of files, so
+        the guard no-ops; the miniature single-file shape the guard exists
+        for is local by construction (test tables, small exports).
+      - local parquet: effective parallelism is bounded BOTH by Spark's
+        byte-range splits (ceil(size / maxSplitBytes), the
+        FilePartition formula with openCostInBytes packing) AND by the
+        footer's row-group count — a byte range with no row-group midpoint
+        yields an empty task.  min of the two, summed over files.
+      - local non-parquet: byte-range splits only (.gz et al are
+        unsplittable: 1).
+
+    Returns None when there are no input files (in-memory LocalRelation,
+    a view over literals) — the caller treats that as "assume narrow".
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    paths: list[str] = []
+    for f in files:
+        if f.startswith("file:"):
+            paths.append(unquote(urlparse(f).path))
+        elif "://" not in f:
+            paths.append(f)
+        else:
+            return len(files)
+    conf = df.sparkSession.conf
+    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        sizes = {p: os.path.getsize(p) for p in paths}
+    except OSError:
+        return len(paths)
+    total = sum(sizes.values()) + open_cost * len(sizes)
+    max_split = min(max_part, max(open_cost, total // max(parallelism, 1) or 1))
+    splits = 0
+    for p, size in sizes.items():
+        byte_splits = max(1, math.ceil(size / max_split))
+        if p.endswith((".gz", ".zst", ".snappy", ".bz2")) and not p.endswith(
+            ".parquet"
+        ):
+            byte_splits = 1
+        if p.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+
+                byte_splits = min(byte_splits, pq.ParquetFile(p).num_row_groups or 1)
+            except Exception:
+                pass
+        splits += byte_splits
+    return splits
+
+
 def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
-    """Repartition ``df`` to cluster default parallelism if it has fewer
-    partitions; otherwise return it unchanged.
+    """Repartition ``df`` to cluster default parallelism if its SCAN would
+    run on fewer splits; otherwise return it unchanged.
 
     Call it on the *narrowest projection* that feeds the expensive
-    expressions, so the one-time shuffle moves as few bytes as possible.
-    ``multiple`` widens the target for stages whose per-row cost is extreme.
+    expressions, so the one-time shuffle moves as few bytes as possible,
+    and on a scan-rooted frame (no shuffle between source and here) — the
+    estimate reads the file sources, which is exactly the stage whose
+    width it guards.  ``multiple`` widens the target for stages whose
+    per-row cost is extreme.
+
+    The estimate never forces physical planning (the old
+    ``df.rdd.getNumPartitions()`` probe compiled the physical plan per
+    call and pinned the pre-AQE partition count).  An in-memory source
+    with no files estimates None and is repartitioned: a LocalTableScan
+    is the 1-partition shape the guard exists for.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
+    est = _estimate_scan_splits(df)
+    if est is None or est < target:
         return df.repartition(target)
     return df
 

@@ -109,11 +109,26 @@ _conv_rows = st.lists(
 
 # CI default keeps the suite fast; a soak run multiplies examples:
 #   SPARK_GRAFT_DIFF_EXAMPLES=200 pytest tests/test_differential_profile.py
-_EXAMPLES = int(os.environ.get("SPARK_GRAFT_DIFF_EXAMPLES", "0"))
+# Unset/empty -> per-test CI defaults (8/10). An explicit value — including
+# 0, which Hypothesis rejects anyway — is honored as given; a non-integer
+# fails with a message naming the env var instead of a bare ValueError.
+def _examples_override() -> int | None:
+    raw = os.environ.get("SPARK_GRAFT_DIFF_EXAMPLES", "").strip()
+    if not raw:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_DIFF_EXAMPLES must be an integer, got {raw!r}"
+        ) from None
+
+
+_EXAMPLES = _examples_override()
 
 
 @settings(
-    max_examples=_EXAMPLES or 8,
+    max_examples=_EXAMPLES if _EXAMPLES is not None else 8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -190,7 +205,7 @@ def _sd_tol(rows, col_idx):
 
 
 @settings(
-    max_examples=_EXAMPLES or 10,
+    max_examples=_EXAMPLES if _EXAMPLES is not None else 10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
