@@ -3096,6 +3096,23 @@ FROM (
 #   slot this round earns a full hash check).  After r06 the window
 #   returns to a stable sentinel set: the 3 former dtype reds + 2-3
 #   sketch/streaming sentinels.
+#   r06 remainder (the 33 queries left without a driver-hashed row;
+#   rotate these in, then pad the window with sentinels):
+#     rank_normalize_events, association_rules_lineitem, impute_events,
+#     top_paths_events, interarrival_stats_events, sample_quotas_documents,
+#     embedding_drift_halves, quality_by_source_documents,
+#     dedup_resolve_by_quality, unigram_surprisal_documents,
+#     transition_conformance_events, completeness_slices_events,
+#     buyers_intersect_except, aqp_mean_lineitem, curriculum_documents,
+#     wow_change_events, pareto_customers, unpivot_lineitem_measures,
+#     repeated_passages_documents, zscore_events, ab_compare_events,
+#     weighted_sample_documents, bloom_semi_join_lineitem, reconcile_orders,
+#     pool_embeddings_by_label, sliding_counts_events, dedup_within_events,
+#     align_union_orders, negative_pairs_documents, fill_gaps_events,
+#     compact_events, missing_days_events, file_balance_lineitem (rows-only)
+#   + sentinels: woe_lang_documents, auc_documents, dedup_eval_lsh,
+#     profile_lineitem_approx (sketch), stream_stream_join_events,
+#     profile_database_scan, and 11 more high-risk family reps to fill 50.
 _GATE_PRIORITY = [
     # sampling / text-pipeline family
     "sample_documents", "split_documents", "stratified_sample_documents",

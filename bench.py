@@ -32,6 +32,253 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+# Headline set: the reference workload (full-DB profile, default and
+# expensive) + the relational queries + extension operators when present.
+HEADLINE = [
+    "profile_database_scan",
+    "profile_lineitem",
+    "profile_orders",
+    "profile_documents",
+    "profile_events_windowed",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "publish_metrics_parquet",
+    "multimodal_binary_dedup",
+    "sessionize_events",
+    "session_stats_events",
+    "asof_click_view",
+    "interval_join_sessions",
+    "profile_lineitem_observed",
+    "sample_documents",
+    "chunk_documents",
+    "token_topk",
+    "clean_corpus",
+    "tfidf_documents",
+    "kmeans_step",
+    "verify_orders",
+    "suggest_constraints_customer",
+    "metric_anomalies",
+    "numeric_histogram_lineitem",
+    "correlation_lineitem",
+    "profile_customer_by_segment",
+    "profile_drift_orders",
+    "kmeans_train",
+    "compliance_orders",
+    "mutual_info_lineitem",
+    "profile_lineitem_incremental",
+    "vector_dim_stats",
+    "vector_norm_stats",
+    "key_skew_lineitem",
+    "hot_keys_events",
+    "candidate_keys_orders",
+    "infer_types_orders",
+    "grouped_quantiles_lineitem",
+    "dedup_resolve_clusters",
+    "json_profile_events",
+    "rolling_stats_events",
+    "table_diff_orders",
+    "diff_summary_orders",
+    "metric_changes",
+    "contamination_documents",
+    "compliance_events_windowed",
+    "project_embeddings",
+    "quantize_embeddings",
+    "psi_orders",
+    "funnel_events",
+    "funnel_summary_events",
+    "cohort_retention_events",
+    "rollup_profile_customer",
+    "ref_integrity_tpch",
+    "fd_strength_orders",
+    "null_patterns_events",
+    "transition_matrix_events",
+    "pattern_scan_documents",
+    "word_repetition_documents",
+    "iqr_outliers_lineitem",
+    "equidepth_histogram_lineitem",
+    "sample_per_lang_documents",
+    "bucketed_join_orders",
+    "pmi_bigrams_documents",
+    "salted_join_lineitem",
+    "winsorized_stats_lineitem",
+    "profile_orders_wide",
+    "inclusion_matrix_tpch",
+    "cramers_v_orders",
+    "benford_orders",
+    "windowed_unique_users_events",
+    "inverted_index_documents",
+    "bm25_topk_documents",
+    "lang_confusion_documents",
+    "dedup_summary_documents",
+    "freshness_events",
+    "segment_deviations_orders",
+    "format_patterns_orders",
+    "temporal_profile_events",
+    "cooccurrence_lineitem",
+    "duplicate_rows_lineitem",
+    "stream_enriched_counts",
+    "multimodal_frame_sample",
+    "profile_orders_where",
+    "composite_uniqueness_orders",
+    "extreme_rows_lineitem",
+    "column_matches_tpch",
+    "trend_slopes_events",
+    "topk_events_per_type",
+    "scd2_customer",
+    "jsd_events_halves",
+    "missing_days_events",
+    "file_balance_lineitem",
+    "mask_customer",
+    "hourly_value_bands_events",
+    "embedding_drift_halves",
+    "quality_by_source_documents",
+    "unigram_surprisal_documents",
+    "dedup_resolve_by_quality",
+    "mad_outliers_lineitem",
+    "interarrival_stats_events",
+    "sample_quotas_documents",
+    "association_rules_lineitem",
+    "impute_events",
+    "top_paths_events",
+    "blank_stats_documents",
+    "rank_normalize_events",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_who_kept_waiting",
+    "q22_global_sales_opportunity",
+    "ks_events_halves",
+    "cube_profile_customer",
+    "schema_diff_orders",
+    "knn_join_embeddings",
+    "spearman_lineitem",
+    "changepoint_events",
+    "compact_events",
+    "stream_stream_join_events",
+    "ohlc_events",
+    "fill_gaps_events",
+    "split_leakage_documents",
+    "woe_lang_documents",
+    "best_split_lineitem",
+    "late_events",
+    "negative_pairs_documents",
+    "sliding_counts_events",
+    "db_health_summary",
+    "truncation_recall_embeddings",
+    "dedup_eval_lsh",
+    "dedup_within_events",
+    "align_union_orders",
+    "w1_events_halves",
+    "zscore_events",
+    "weighted_sample_documents",
+    "calibration_documents",
+    "auc_documents",
+    "bloom_semi_join_lineitem",
+    "attribution_events",
+    "reconcile_orders",
+    "reconcile_summary_orders",
+    "pool_embeddings_by_label",
+    "feature_ranking_lineitem",
+    "k_anonymity_customer",
+    "repeated_passages_documents",
+    "buyers_intersect_except",
+    "unpivot_lineitem_measures",
+    "aqp_mean_lineitem",
+    "funnel_times_events",
+    "curriculum_documents",
+    "wow_change_events",
+    "pareto_customers",
+    "dedup_incremental_lsh",
+    "drift_gate_events",
+    "q8_market_share",
+    "ab_compare_events",
+    "ivf_inertia_embeddings",
+    "transition_conformance_events",
+    "completeness_slices_events",
+    "pagerank_event_graph",
+]
+# Every registered query NOT in the headline suite, with the reason —
+# the headline number stays auditable: len(headline) + len(EXCLUDED)
+# must equal len(queries()), asserted below.
+EXCLUDED = {
+    # per-table profiles whose identical plan runs inside the benched
+    # profile_database_scan (lineitem/orders/documents stay as the
+    # representative per-table timings)
+    "profile_region": "subsumed by profile_database_scan",
+    "profile_nation": "subsumed by profile_database_scan",
+    "profile_customer": "subsumed by profile_database_scan",
+    "profile_supplier": "subsumed by profile_database_scan",
+    "profile_part": "subsumed by profile_database_scan",
+    "profile_events": "subsumed by profile_database_scan",
+    "profile_embeddings": "subsumed by profile_database_scan",
+    # variants of benched profile queries (same scan+agg shape,
+    # different config knob)
+    "profile_orders_typed": "cast-sweep variant of benched profile_orders",
+    "profile_catalog_scan": "catalog-routed variant of profile_database_scan",
+    "profile_lineitem_approx": "sketch variant of benched profile_lineitem",
+    # driver-side metadata frames over an already-computed profile:
+    # sub-second, no scan/shuffle signal
+    "dataset_sizes": "metadata frame over profile output",
+    "distinct_metric_names": "metadata frame over profile output",
+    "metrics_typed_join": "metadata frame over profile output",
+    "join_size_orders_lineitem": "scalar join-size diagnostic",
+    # correctness/verify kernels whose scale path IS benched
+    "dedup_embedding_exact": "brute-force verify kernel; scale path "
+    "dedup_embedding is benched",
+    "violation_samples_orders": "row-sample companion of benched "
+    "compliance_orders",
+    # stub-decode multimodal paths (binary plumbing benched via
+    # multimodal_binary_dedup / multimodal_frame_sample)
+    "multimodal_binary_profile": "same binary-scan shape as benched "
+    "multimodal_binary_dedup",
+    "multimodal_decode_features": "deterministic stub decode; plumbing "
+    "benched via multimodal_frame_sample",
+    # streaming fixtures dominated by micro-batch startup, not data
+    # (stream_stream_join_events + stream_enriched_counts represent
+    # the family)
+    "stream_dedup_exact": "micro-batch startup dominates; family "
+    "represented by benched streaming queries",
+    "stream_occurrence_index": "micro-batch startup dominates; family "
+    "represented by benched streaming queries",
+    # sink query with an identical write path to the benched
+    # publish_metrics_parquet
+    "catalog_params_sink": "same collect+publish path as benched "
+    "publish_metrics_parquet",
+    # small-dimension variants of benched family members
+    "fuzzy_join_part": "small-dim fuzzy pair; candidate-join shape "
+    "benched via resolve-family and join suite",
+    "resolve_fuzzy_part": "resolution step over fuzzy_join_part output",
+    "split_documents": "hash-split variant of benched sample_documents",
+    "stratified_sample_documents": "variant of benched "
+    "sample_per_lang_documents",
+    "trending_events": "variant of benched trend_slopes_events / "
+    "topk_events_per_type",
+}
+
+
+def headline_names(qs) -> list[str]:
+    """Headline suite + dynamic dedup/ann/text families, deduplicated;
+    headline + EXCLUDED must tile the full registered surface (asserted
+    in main() and pinned by tests/test_bench_surface.py)."""
+    names = list(HEADLINE)
+    names += [
+        n
+        for n in qs
+        if n.startswith(("dedup_", "ann_", "text_", "minhash", "simhash"))
+        and n not in EXCLUDED
+        and n not in names
+    ]
+    return names
+
+
 def build_spark():
     from pyspark.sql import SparkSession
 
@@ -61,188 +308,11 @@ def main() -> None:
     import __spark_entry__ as e
 
     qs = e.queries()
-    # Headline set: the reference workload (full-DB profile, default and
-    # expensive) + the relational queries + extension operators when present.
-    names = [
-        "profile_database_scan",
-        "profile_lineitem",
-        "profile_orders",
-        "profile_documents",
-        "profile_events_windowed",
-        "q1_pricing_summary",
-        "revenue_by_nation",
-        "publish_metrics_parquet",
-        "multimodal_binary_dedup",
-        "sessionize_events",
-        "session_stats_events",
-        "asof_click_view",
-        "interval_join_sessions",
-        "profile_lineitem_observed",
-        "sample_documents",
-        "chunk_documents",
-        "token_topk",
-        "clean_corpus",
-        "tfidf_documents",
-        "kmeans_step",
-        "verify_orders",
-        "suggest_constraints_customer",
-        "metric_anomalies",
-        "numeric_histogram_lineitem",
-        "correlation_lineitem",
-        "profile_customer_by_segment",
-        "profile_drift_orders",
-        "kmeans_train",
-        "compliance_orders",
-        "mutual_info_lineitem",
-        "profile_lineitem_incremental",
-        "vector_dim_stats",
-        "vector_norm_stats",
-        "key_skew_lineitem",
-        "hot_keys_events",
-        "candidate_keys_orders",
-        "infer_types_orders",
-        "grouped_quantiles_lineitem",
-        "dedup_resolve_clusters",
-        "json_profile_events",
-        "rolling_stats_events",
-        "table_diff_orders",
-        "diff_summary_orders",
-        "metric_changes",
-        "contamination_documents",
-        "compliance_events_windowed",
-        "project_embeddings",
-        "quantize_embeddings",
-        "psi_orders",
-        "funnel_events",
-        "funnel_summary_events",
-        "cohort_retention_events",
-        "rollup_profile_customer",
-        "ref_integrity_tpch",
-        "fd_strength_orders",
-        "null_patterns_events",
-        "transition_matrix_events",
-        "pattern_scan_documents",
-        "word_repetition_documents",
-        "iqr_outliers_lineitem",
-        "equidepth_histogram_lineitem",
-        "sample_per_lang_documents",
-        "bucketed_join_orders",
-        "pmi_bigrams_documents",
-        "salted_join_lineitem",
-        "winsorized_stats_lineitem",
-        "profile_orders_wide",
-        "inclusion_matrix_tpch",
-        "cramers_v_orders",
-        "benford_orders",
-        "windowed_unique_users_events",
-        "inverted_index_documents",
-        "bm25_topk_documents",
-        "lang_confusion_documents",
-        "dedup_summary_documents",
-        "freshness_events",
-        "segment_deviations_orders",
-        "format_patterns_orders",
-        "temporal_profile_events",
-        "cooccurrence_lineitem",
-        "duplicate_rows_lineitem",
-        "stream_enriched_counts",
-        "multimodal_frame_sample",
-        "profile_orders_where",
-        "composite_uniqueness_orders",
-        "extreme_rows_lineitem",
-        "column_matches_tpch",
-        "trend_slopes_events",
-        "topk_events_per_type",
-        "scd2_customer",
-        "jsd_events_halves",
-        "missing_days_events",
-        "file_balance_lineitem",
-        "mask_customer",
-        "hourly_value_bands_events",
-        "embedding_drift_halves",
-        "quality_by_source_documents",
-        "unigram_surprisal_documents",
-        "dedup_resolve_by_quality",
-        "mad_outliers_lineitem",
-        "interarrival_stats_events",
-        "sample_quotas_documents",
-        "association_rules_lineitem",
-        "impute_events",
-        "top_paths_events",
-        "blank_stats_documents",
-        "rank_normalize_events",
-        "q3_shipping_priority",
-        "q4_order_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q21_suppliers_who_kept_waiting",
-        "q22_global_sales_opportunity",
-        "ks_events_halves",
-        "cube_profile_customer",
-        "schema_diff_orders",
-        "knn_join_embeddings",
-        "spearman_lineitem",
-        "changepoint_events",
-        "compact_events",
-        "stream_stream_join_events",
-        "ohlc_events",
-        "fill_gaps_events",
-        "split_leakage_documents",
-        "woe_lang_documents",
-        "best_split_lineitem",
-        "late_events",
-        "negative_pairs_documents",
-        "sliding_counts_events",
-        "db_health_summary",
-        "truncation_recall_embeddings",
-        "dedup_eval_lsh",
-        "dedup_within_events",
-        "align_union_orders",
-        "w1_events_halves",
-        "zscore_events",
-        "weighted_sample_documents",
-        "calibration_documents",
-        "auc_documents",
-        "bloom_semi_join_lineitem",
-        "attribution_events",
-        "reconcile_orders",
-        "reconcile_summary_orders",
-        "pool_embeddings_by_label",
-        "feature_ranking_lineitem",
-        "k_anonymity_customer",
-        "repeated_passages_documents",
-        "buyers_intersect_except",
-        "unpivot_lineitem_measures",
-        "aqp_mean_lineitem",
-        "funnel_times_events",
-        "curriculum_documents",
-        "wow_change_events",
-        "pareto_customers",
-        "dedup_incremental_lsh",
-        "drift_gate_events",
-        "q8_market_share",
-        "ab_compare_events",
-        "ivf_inertia_embeddings",
-        "transition_conformance_events",
-        "completeness_slices_events",
-        "pagerank_event_graph",
-    ]
-    # Exact brute-force kernels are correctness aids, not headline ops —
-    # their scale path (IVF-bucketed / LSH) is what gets benched.
-    exclude = {"dedup_embedding_exact"}
-    names += [
-        n
-        for n in qs
-        if n.startswith(("dedup_", "ann_", "text_", "minhash", "simhash"))
-        and n not in exclude
-    ]
+    names = headline_names(qs)
+    missing = sorted(set(qs) - set(names) - set(EXCLUDED))
+    stale = sorted(set(EXCLUDED) - set(qs) | set(EXCLUDED) & set(names))
+    assert not missing, f"queries neither benched nor excluded: {missing}"
+    assert not stale, f"EXCLUDED entries stale or double-listed: {stale}"
 
     # warmup: one pass so file listing + page cache are hot
     from data_profiler_for_aws_glue_data_catalog_spark.sources.registry import load_tables
@@ -303,6 +373,7 @@ def main() -> None:
         "spread": spread,
         "median_spread": median_spread,
         "protocol": protocol,
+        "excluded": EXCLUDED,
         "sf": sf_val,
         # marks the full-map line so consumers scanning stdout for the
         # first matching metric can skip it (the canonical short summary
@@ -328,6 +399,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                # headline + excluded = the full registered surface;
+                # per-name reasons live in BENCH_DETAIL.json "excluded"
+                "n_excluded": len(EXCLUDED),
+                "excluded": sorted(EXCLUDED),
                 "median_spread": median_spread,
                 "protocol": protocol,
                 "sf": sf_val,

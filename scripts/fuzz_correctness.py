@@ -24,6 +24,7 @@ queries actually read.
 
 Usage:
   python scripts/fuzz_correctness.py --seed 1 [--outdir DIR] [query ...]
+  python scripts/fuzz_correctness.py --seed 1 --record FUZZ.json
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
   curriculum_documents percentile-edge flip — more rows, more chances
@@ -31,13 +32,21 @@ Usage:
 
 Generates DIR (default /tmp/fuzzdata-seed<N>) then execs the standard
 gate with SPARK_GRAFT_CHECK_SF=DIR; exit code is the gate's.
+
+``--record PATH`` additionally appends one machine-checkable row per run
+to a JSON seed matrix ({"runs": [...]}): seed, source dir, OK/WARN/
+ROWS/FAIL counts, the WARN classes hit, and any failed query names —
+so "seeds 1-9 + a 10x seed, zero failures" is an auditable artifact
+(FUZZ.json), not README prose.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import pathlib
+import re
 import subprocess
 import sys
 
@@ -125,10 +134,30 @@ def build_dir(outdir: str, seed: int) -> None:
     con.close()
 
 
+def _record_run(path: str, row: dict) -> None:
+    """Append ``row`` to the seed matrix at ``path`` (replacing any prior
+    row for the same (seed, src) so re-runs update in place)."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"runs": []}
+    doc["runs"] = [
+        r for r in doc.get("runs", [])
+        if (r.get("seed"), r.get("src")) != (row["seed"], row["src"])
+    ] + [row]
+    doc["runs"].sort(key=lambda r: (r.get("src", ""), r.get("seed", 0)))
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--outdir", default=None)
+    ap.add_argument("--record", default=None,
+                    help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
     outdir = args.outdir or f"/tmp/fuzzdata-seed{args.seed}"
@@ -138,11 +167,41 @@ def main() -> int:
         SPARK_GRAFT_CHECK_SF=outdir,
         SPARK_GRAFT_CHECK_TOLERANT="1",
     )
-    return subprocess.call(
-        [sys.executable, os.path.join(os.path.dirname(__file__), "check_correctness.py"),
-         *args.queries],
-        env=env,
-    )
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(__file__), "check_correctness.py"),
+           *args.queries]
+    if not args.record:
+        return subprocess.call(cmd, env=env)
+    proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE, text=True)
+    sys.stdout.write(proc.stdout)
+    counts = {"OK": 0, "WARN": 0, "ROWS": 0, "FAIL": 0}
+    warn_classes: dict[str, int] = {}
+    failed: list[str] = []
+    # \r-split: a console progress bar can share a line with a result;
+    # the two-space anchor keeps log4j "WARN Class:" lines out.
+    for line in proc.stdout.replace("\r", "\n").splitlines():
+        m = re.match(r"(OK|WARN|ROWS|FAIL)\s\s+(\S+?):", line)
+        if not m:
+            continue
+        kind, qname = m.group(1), m.group(2)
+        counts[kind] += 1
+        if kind == "FAIL":
+            failed.append(qname)
+        elif kind == "WARN":
+            for cls, n in re.findall(r"'(\w+)': (\d+)", line):
+                warn_classes[cls] = warn_classes.get(cls, 0) + int(n)
+    _record_run(args.record, {
+        "seed": args.seed,
+        "src": SRC,
+        "ok": counts["OK"],
+        "warn": counts["WARN"],
+        "rows_only": counts["ROWS"],
+        "fail": counts["FAIL"],
+        "warn_classes": warn_classes,
+        "failed_queries": failed,
+        "exit": proc.returncode,
+    })
+    return proc.returncode
 
 
 if __name__ == "__main__":
