@@ -97,7 +97,14 @@ def woe_encode(
 ) -> DataFrame:
     """Per-category weight of evidence against a boolean ``label``:
     woe = ln( ((pos+0.5)/(P+0.5)) / ((neg+0.5)/(N+0.5)) ), plus the
-    category's information-value term (dist_pos - dist_neg) * woe."""
+    category's information-value term (dist_pos - dist_neg) * woe.
+
+    The count operands are cast to DOUBLE explicitly: a bare ``n_pos +
+    0.5`` types the literal DECIMAL(1,1), so Spark computes the whole
+    ratio in scale-16 decimal division — truncated at digit 16, where
+    IEEE keeps 17 — and ln() amplifies that into a 6th-decimal flip on
+    adversarial counts (fuzz seed 10: woe -0.784465 vs the oracle's
+    IEEE -0.784463). Both engines must take the double path."""
     g = (
         df.where(F.col(cat_col).isNotNull())
         .select(
@@ -114,8 +121,8 @@ def woe_encode(
     tot = g.agg(
         F.sum("n_pos").alias("P"), F.sum("n_neg").alias("NG")
     )
-    dp = "((n_pos + 0.5) / (P + 0.5))"
-    dn = "((n_neg + 0.5) / (NG + 0.5))"
+    dp = "((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(P AS DOUBLE) + 0.5))"
+    dn = "((CAST(n_neg AS DOUBLE) + 0.5) / (CAST(NG AS DOUBLE) + 0.5))"
     woe = f"ln({dp} / {dn})"
     return g.crossJoin(F.broadcast(tot)).selectExpr(
         "category",
@@ -128,8 +135,9 @@ def woe_encode(
 
 
 def woe_encode_sql(table: str, cat_col: str, label_sql: str) -> str:
-    dp = "((n_pos + 0.5) / (P + 0.5))"
-    dn = "((n_neg + 0.5) / (NG + 0.5))"
+    # same explicit DOUBLE path as woe_encode (decimal-division landmine)
+    dp = "((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(P AS DOUBLE) + 0.5))"
+    dn = "((CAST(n_neg AS DOUBLE) + 0.5) / (CAST(NG AS DOUBLE) + 0.5))"
     woe = f"ln({dp} / {dn})"
     return f"""
 WITH g AS (
