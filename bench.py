@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -311,8 +312,10 @@ def main() -> None:
     names = headline_names(qs)
     missing = sorted(set(qs) - set(names) - set(EXCLUDED))
     stale = sorted(set(EXCLUDED) - set(qs) | set(EXCLUDED) & set(names))
+    unknown = sorted(set(names) - set(qs))
     assert not missing, f"queries neither benched nor excluded: {missing}"
     assert not stale, f"EXCLUDED entries stale or double-listed: {stale}"
+    assert not unknown, f"HEADLINE entries not registered: {unknown}"
 
     # warmup: one pass so file listing + page cache are hot
     from data_profiler_for_aws_glue_data_catalog_spark.sources.registry import load_tables
@@ -359,6 +362,57 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Per-round archive + mechanical round-over-round comparison (r5 judge
+    # item: the +9.3% r4->r5 drift could only be adjudicated for the top-10
+    # because the per-query detail was overwritten each run). The current
+    # round is inferred as 1 + the highest BENCH_r<NN>.json the driver has
+    # recorded; the comparison runs against the most recent prior archive.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p))
+    ]
+    cur_round = (max(rounds) + 1) if rounds else 1
+    prev = sorted(
+        (int(m.group(1)), os.path.join(here, p))
+        for p in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", p))
+        and int(m.group(1)) < cur_round
+    )
+    rr = None
+    if prev:
+        prev_round, prev_path = prev[-1]
+        with open(prev_path) as f:
+            prev_doc = json.load(f)
+        pq = prev_doc.get("queries", {})
+        ratios = {
+            n: round(timings[n] / pq[n], 3)
+            for n in sorted(set(timings) & set(pq))
+            if pq[n] > 0
+        }
+        vals = sorted(ratios.values())
+        movers = {
+            n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+            if r > 2.0 or r < 0.5
+        }
+        prev_total = sum(pq[n] for n in ratios)
+        cur_total = sum(timings[n] for n in ratios)
+        rr = {
+            "prev_round": prev_round,
+            "prev_detail": os.path.basename(prev_path),
+            "n_common": len(ratios),
+            "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+            "median_ratio": vals[len(vals) // 2] if vals else None,
+            "p10_ratio": vals[int(len(vals) * 0.1)] if vals else None,
+            "p90_ratio": vals[int(len(vals) * 0.9)] if vals else None,
+            # any mover outside [0.5x, 2x] must be explained or fixed;
+            # the documented per-query noise band on this host is ~3x,
+            # so a >2x MIN-timing move is already suspicious
+            "movers_outside_2x": movers,
+            "ratios": ratios,
+        }
     protocol = {
         "samples_per_query": "min of 2; +1 tie-breaker pass when max > "
         "2*min; +1 late pass for the 10 slowest (correlated-stall guard)",
@@ -375,6 +429,8 @@ def main() -> None:
         "protocol": protocol,
         "excluded": EXCLUDED,
         "sf": sf_val,
+        "round": cur_round,
+        "round_over_round": rr,
         # marks the full-map line so consumers scanning stdout for the
         # first matching metric can skip it (the canonical short summary
         # is the LAST json line; this full map also lives in BENCH_DETAIL)
@@ -386,8 +442,12 @@ def main() -> None:
     # reason). stdout gets the full line for humans (tagged detail:true),
     # then a short summary line LAST — guaranteed to fit the tail window
     # intact — carrying the headline number plus the slowest queries.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f)
+    # per-round archive: never overwritten by a later round, so the next
+    # round's comparison (and the judge) can read this round's full map
+    with open(os.path.join(here, f"BENCH_DETAIL_r{cur_round:02d}.json"),
+              "w") as f:
         json.dump(full, f)
     print(json.dumps(full))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
@@ -406,7 +466,16 @@ def main() -> None:
                 "median_spread": median_spread,
                 "protocol": protocol,
                 "sf": sf_val,
-                "detail_file": "BENCH_DETAIL.json",
+                "round": cur_round,
+                # r-over-r summary (full per-query ratio table in the
+                # archived detail file): median ~= 1.0 is "within noise"
+                "round_over_round": (
+                    {k: rr[k] for k in (
+                        "prev_round", "total_ratio", "median_ratio",
+                        "p10_ratio", "p90_ratio", "movers_outside_2x",
+                    )} if rr else None
+                ),
+                "detail_file": f"BENCH_DETAIL_r{cur_round:02d}.json",
             }
         )
     )

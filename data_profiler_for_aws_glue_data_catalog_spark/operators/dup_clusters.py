@@ -97,12 +97,21 @@ def resolve_duplicates(
 
 
 def duplicate_clusters_sql(pairs_sql: str, id_a: str = "doc_a", id_b: str = "doc_b") -> str:
-    """DuckDB mirror: recursive reachability, min reachable id per node."""
+    """DuckDB mirror: recursive reachability, min reachable id per node.
+
+    ``dup_pairs``/``pair_edges`` are MATERIALIZED: the candidate-pair
+    relation (often an expensive LSH subquery) is referenced twice to
+    symmetrize and then again per recursion step — without the hint DuckDB
+    inlines it per reference, which made this oracle minutes-slow at sf0.1
+    (the round-5 sweep's only two skips). Components are computed over the
+    pre-reduced pair relation only; singleton docs never enter the
+    recursion (resolve_duplicates_sql adds them back with a LEFT JOIN)."""
     return f"""
-WITH RECURSIVE pair_edges AS (
-  SELECT {id_a} AS a, {id_b} AS b FROM ({pairs_sql})
+WITH RECURSIVE dup_pairs AS MATERIALIZED ({pairs_sql}),
+pair_edges AS MATERIALIZED (
+  SELECT {id_a} AS a, {id_b} AS b FROM dup_pairs
   UNION
-  SELECT {id_b} AS a, {id_a} AS b FROM ({pairs_sql})
+  SELECT {id_b} AS a, {id_a} AS b FROM dup_pairs
 ),
 reach(id, r) AS (
   SELECT a, a FROM pair_edges

@@ -18,6 +18,8 @@ registered without an oracle (rows-only check).
 
 from __future__ import annotations
 
+import os
+
 NUM = "num"
 TEXT = "text"
 
@@ -434,6 +436,76 @@ CONVERT_COLUMNS: dict[str, list[str]] = {
     "lineitem": ["l_shipdate"],
     "events": ["ts"],
 }
+
+
+def _classify_arrow(t) -> tuple[str | None, str | None]:
+    """(kind, spark simpleString) for a pyarrow type — the oracle-side
+    mirror of operators.types.classify over what Spark reads from the same
+    parquet footer.  kind: NUM / TEXT / 'convert' / None (skipped, e.g.
+    list/struct/binary — matching the engine's no-else skip)."""
+    import pyarrow.types as pat
+
+    if pat.is_string(t) or pat.is_large_string(t):
+        return TEXT, "string"
+    for pred, s in (
+        (pat.is_int8, "tinyint"), (pat.is_int16, "smallint"),
+        (pat.is_int32, "int"), (pat.is_int64, "bigint"),
+        (pat.is_float32, "float"), (pat.is_float64, "double"),
+    ):
+        if pred(t):
+            return NUM, s
+    if pat.is_decimal(t):
+        return NUM, f"decimal({t.precision},{t.scale})"
+    if pat.is_boolean(t):
+        return "convert", "boolean"
+    if pat.is_date(t):
+        return "convert", "date"
+    if pat.is_timestamp(t):
+        return "convert", "timestamp"
+    return None, None
+
+
+def derive_schema_columns(
+    sf_dir: str,
+) -> tuple[dict[str, list[tuple[str, str, str]]], dict[str, list[str]]]:
+    """Re-derive (TABLE_COLUMNS, CONVERT_COLUMNS) from the parquet footers
+    in ``sf_dir`` — driver-side metadata only, no Spark session.
+
+    The static dicts above pin the canonical testdata schema so oracle SQL
+    generates without any I/O; this derivation exists for the SCHEMA-
+    MUTATION fuzz axis (scripts/fuzz_correctness.py --schema): when
+    ``SPARK_GRAFT_ORACLE_SCHEMA_DIR`` is set, the oracle inventory tracks
+    whatever columns the mutated files actually carry, exactly as the
+    engine's profile operators do from ``df.schema`` — so dropped/renamed/
+    retyped/added columns keep both sides comparable.  Parity of this
+    derivation with the static dicts on the unmutated testdata is pinned
+    by tests/test_schema_fuzz.py."""
+    import pyarrow.parquet as pq
+
+    table_cols: dict[str, list[tuple[str, str, str]]] = {}
+    convert_cols: dict[str, list[str]] = {}
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        cols: list[tuple[str, str, str]] = []
+        conv: list[str] = []
+        for f in schema:
+            kind, sstr = _classify_arrow(f.type)
+            if kind in (NUM, TEXT):
+                cols.append((f.name, kind, sstr))
+            elif kind == "convert":
+                conv.append(f.name)
+        table_cols[t] = cols
+        if conv:
+            convert_cols[t] = conv
+    return table_cols, convert_cols
+
+
+_SCHEMA_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SCHEMA_DIR")
+if _SCHEMA_DIR:
+    TABLE_COLUMNS, CONVERT_COLUMNS = derive_schema_columns(_SCHEMA_DIR)
 
 
 def profile_table_typed_sql(table: str) -> str:

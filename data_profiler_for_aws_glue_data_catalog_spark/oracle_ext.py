@@ -500,9 +500,14 @@ FROM pairs JOIN dfreq USING (token) CROSS JOIN n
 
 
 def _shingle_sets_sql(table: str, text_col: str, id_col: str, n: int) -> str:
+    # stage the token list as a COLUMN before shingling: hashed_shingles_sql
+    # references its toks operand several times (len / range / slice), and
+    # inlining the split+filter expression there makes DuckDB re-evaluate it
+    # per reference — measured 123 s -> 11 s for the sf0.1 shingle sets.
     return f"""
 SELECT id, sh, len(sh) AS sz FROM (
-  SELECT {id_col} AS id, {hashed_shingles_sql(toks_sql(text_col), n)} AS sh FROM {table}
+  SELECT id, {hashed_shingles_sql("_toks", n)} AS sh
+  FROM (SELECT {id_col} AS id, {toks_sql(text_col)} AS _toks FROM {table})
 ) WHERE len(sh) > 0
 """
 
@@ -570,10 +575,13 @@ def minhash_lsh_near_duplicates_sql(
         )
         for b in range(n_bands)
     )
+    # MATERIALIZED: sig is consumed 3x (bands + both verify-join sides);
+    # DuckDB would otherwise inline the shingle+minhash computation per
+    # reference — measured 478 s -> ~13 s for the sf0.1 pairs relation.
     return f"""
-WITH s AS ({_shingle_sets_sql(table, text_col, id_col, n)}),
+WITH s AS MATERIALIZED ({_shingle_sets_sql(table, text_col, id_col, n)}),
 hashed AS (SELECT id, sh, sz, list_transform(sh, h -> h % {M32}) AS hs FROM s),
-sig AS (SELECT id, sh, sz, [{sig_items}] AS sig FROM hashed),
+sig AS MATERIALIZED (SELECT id, sh, sz, [{sig_items}] AS sig FROM hashed),
 bands AS (SELECT id, unnest([{band_items}]) AS bk FROM sig),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b

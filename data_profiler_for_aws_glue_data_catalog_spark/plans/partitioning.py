@@ -21,20 +21,45 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
+# Mirrors JavaUtils.byteStringAs: optional k/m/g/t/p prefix, optional 'b'
+# suffix, so "128m", "256mb", "4194304b", "1g", "1gb" all parse.
+_SIZE_RE = re.compile(r"^([0-9]+(?:\.[0-9]+)?)\s*([kmgtp]?)b?$")
+_SIZE_MULT = {
+    "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+    "p": 1 << 50,
+}
+
 
 def _size_bytes(v: str) -> int:
-    """Parse a Spark byte-size config value ("128m", "4194304b", "1g")."""
-    s = v.strip().lower()
-    mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
-        if s.endswith(suf):
-            s, mult = s[: -len(suf)], m
-            break
-    return int(float(s) * mult)
+    """Parse a Spark byte-size config value ("128m", "256mb", "1g")."""
+    m = _SIZE_RE.match(v.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable Spark byte-size value: {v!r}")
+    return int(float(m.group(1)) * _SIZE_MULT[m.group(2)])
+
+
+def _remote_sizes(df: DataFrame, files: list[str]) -> dict[str, int] | None:
+    """Stat remote (s3://, hdfs://, ...) input files via the JVM Hadoop
+    FileSystem — a driver-side metadata call against paths the scan's file
+    index already listed, no job.  None on any failure (missing FS impl,
+    credentials): the caller falls back to the file-count lower bound."""
+    try:
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        sizes: dict[str, int] = {}
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hconf)
+            sizes[f] = fs.getFileStatus(path).getLen()
+        return sizes
+    except Exception:
+        return None
 
 
 def _estimate_scan_splits(df: DataFrame) -> int | None:
@@ -44,10 +69,13 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
     listing, no physical planning, no job, and (unlike ``df.rdd``) no
     pinning of the pre-AQE partition count.  From the file list:
 
-      - remote store (s3://, hdfs://, ...): return the file count.  A
-        lower bound on splits — at 100 TB there are thousands of files, so
-        the guard no-ops; the miniature single-file shape the guard exists
-        for is local by construction (test tables, small exports).
+      - remote store (s3://, hdfs://, ...): stat the files through the
+        Hadoop FileSystem on the driver (the same listing the scan's file
+        index already performed) and apply the identical byte-range split
+        math — so a 4x1GB s3:// layout correctly estimates ~32 splits and
+        skips the repartition.  If the JVM stat fails (no FS impl, auth),
+        fall back to the raw file count: a lower bound on splits, which at
+        100 TB (thousands of files) still no-ops the guard.
       - local parquet: effective parallelism is bounded BOTH by Spark's
         byte-range splits (ceil(size / maxSplitBytes), the
         FilePartition formula with openCostInBytes packing) AND by the
@@ -58,6 +86,9 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
 
     Returns None when there are no input files (in-memory LocalRelation,
     a view over literals) — the caller treats that as "assume narrow".
+    An unparseable size conf (Spark would reject it at scan time anyway)
+    also returns None, degrading to the repartition fallback rather than
+    crashing the query.
     """
     try:
         files = df.inputFiles()
@@ -65,22 +96,34 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    conf = df.sparkSession.conf
+    try:
+        max_part = _size_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        open_cost = _size_bytes(
+            conf.get("spark.sql.files.openCostInBytes", "4m"))
+    except (ValueError, KeyError):
+        return None
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     paths: list[str] = []
+    remote = False
     for f in files:
         if f.startswith("file:"):
             paths.append(unquote(urlparse(f).path))
         elif "://" not in f:
             paths.append(f)
         else:
+            remote = True
+            break
+    if remote:
+        sizes = _remote_sizes(df, files)
+        if sizes is None:
             return len(files)
-    conf = df.sparkSession.conf
-    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        sizes = {p: os.path.getsize(p) for p in paths}
-    except OSError:
-        return len(paths)
+    else:
+        try:
+            sizes = {p: os.path.getsize(p) for p in paths}
+        except OSError:
+            return len(paths)
     total = sum(sizes.values()) + open_cost * len(sizes)
     max_split = min(max_part, max(open_cost, total // max(parallelism, 1) or 1))
     splits = 0

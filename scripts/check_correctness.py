@@ -79,11 +79,14 @@ def _known_class(frame: pd.DataFrame, i: int, c, va, vb) -> str | None:
         return None
     if diff <= 1.05e-6:
         return "ulp6"
-    if (
-        "name" in frame.columns
-        and frame["name"].iloc[i] == "StandardDeviation"
-        and diff <= 1e-3
-    ):
+    # the metrics relation carries the metric in `name`; the catalog
+    # parameter sink carries it as `param_key` = '<prefix>StandardDeviation'
+    metric = ""
+    if "name" in frame.columns:
+        metric = str(frame["name"].iloc[i])
+    elif "param_key" in frame.columns:
+        metric = str(frame["param_key"].iloc[i])
+    if metric.endswith("StandardDeviation") and diff <= 1e-3:
         return "sd_floor"
     return None
 

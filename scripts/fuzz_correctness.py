@@ -25,10 +25,24 @@ queries actually read.
 Usage:
   python scripts/fuzz_correctness.py --seed 1 [--outdir DIR] [query ...]
   python scripts/fuzz_correctness.py --seed 1 --record FUZZ.json
+  python scripts/fuzz_correctness.py --seed 1 --schema --record FUZZ.json
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
   curriculum_documents percentile-edge flip — more rows, more chances
   for a value to land exactly on a quantile/fence boundary)
+
+``--schema`` switches to the SCHEMA-mutation axis: instead of perturbing
+cell values over the fixed star schema, the seed drives structural edits -
+drop / rename / retype (int->bigint widen) / add columns, one all-NULL
+column, optionally one single-row table - and replays the schema-driven
+query families (profile / constraint-suggestion / diff / sinks) with
+``SPARK_GRAFT_ORACLE_SCHEMA_DIR`` pointed at the mutated dir, so the
+DuckDB oracles regenerate from the ACTUAL parquet footers exactly as the
+engine profiles from ``df.schema`` (oracle.derive_schema_columns).
+``orders`` is deliberately frozen: the verify/infer/candidate-keys/
+schema-diff oracles hardcode its inventory by contract, and replaying
+them against a mutated database proves DB-wide mutation cannot leak into
+a frozen table's results.
 
 Generates DIR (default /tmp/fuzzdata-seed<N>) then execs the standard
 gate with SPARK_GRAFT_CHECK_SF=DIR; exit code is the gate's.
@@ -81,6 +95,124 @@ TS_JITTER = {
     "events": "ts",
 }
 SAMPLE_FRAC = {"region": 1.0, "nation": 1.0}  # tiny dims: keep whole
+
+# ---------------------------------------------------------------- schema axis
+
+# Queries replayed under schema mutation: the families whose BOTH sides are
+# schema-driven (engine from df.schema, oracle from derive_schema_columns),
+# plus the frozen-orders queries whose hardcoded oracles must stay exact
+# amid DB-wide mutation.
+SCHEMA_QUERIES = [
+    "profile_region", "profile_nation", "profile_customer",
+    "profile_supplier", "profile_part", "profile_orders",
+    "profile_lineitem", "profile_events", "profile_documents",
+    "profile_embeddings", "profile_database_scan", "profile_catalog_scan",
+    "profile_lineitem_observed", "profile_orders_typed",
+    "profile_lineitem_approx", "dataset_sizes",
+    "publish_metrics_parquet", "catalog_params_sink",
+    "suggest_constraints_customer",
+    # frozen-orders family (hardcoded-inventory oracles by contract)
+    "verify_orders", "infer_types_orders", "candidate_keys_orders",
+    "schema_diff_orders", "table_diff_orders", "diff_summary_orders",
+]
+
+# Structural-mutation candidates. ``orders`` never appears (frozen, see
+# module docstring); every candidate column is outside the replayed
+# queries' hardcoded references. (table, column) pairs; the seed samples.
+SCHEMA_DROP = [
+    ("customer", "c_mktsegment"), ("part", "p_brand"),
+    ("supplier", "s_name"), ("lineitem", "l_tax"),
+    ("events", "props"), ("documents", "source"),
+]
+SCHEMA_RENAME = [
+    ("customer", "c_name"), ("part", "p_type"), ("events", "value"),
+    ("documents", "lang"), ("nation", "n_name"),
+]
+SCHEMA_RETYPE = [  # int32 -> int64 widen: values identical, footer changes
+    ("nation", "n_nationkey"), ("customer", "c_nationkey"),
+    ("part", "p_size"), ("supplier", "s_nationkey"),
+    ("lineitem", "l_linenumber"),
+]
+SCHEMA_ALLNULL = [  # column kept, every value NULL (empty-domain metrics)
+    ("supplier", "s_acctbal"), ("customer", "c_acctbal"),
+    ("part", "p_retailprice"), ("documents", "source"),
+]
+SCHEMA_ADD_PK = {  # tables that can gain columns; pk drives the values
+    "customer": "c_custkey", "part": "p_partkey",
+    "events": "event_id", "supplier": "s_suppkey",
+}
+SCHEMA_SINGLE_ROW = [("supplier", "s_suppkey"), ("part", "p_partkey")]
+
+
+def build_schema_dir(outdir: str, seed: int) -> list[str]:
+    """Build a schema-mutated copy of SRC at ``outdir``; returns the
+    human-readable mutation manifest (also recorded in FUZZ.json)."""
+    import random
+
+    rng = random.Random(seed)
+    drops = set(rng.sample(SCHEMA_DROP, k=rng.randint(1, 2)))
+    renames = {
+        tc: f"{tc[1]}_fz"
+        for tc in rng.sample(SCHEMA_RENAME, k=rng.randint(1, 2))
+    }
+    retype = rng.choice(SCHEMA_RETYPE)
+    # a dropped column can't also be the all-NULL one (manifest must not lie)
+    allnull = rng.choice([x for x in SCHEMA_ALLNULL if x not in drops])
+    adds = rng.sample(sorted(SCHEMA_ADD_PK), k=2)
+    single = rng.choice(SCHEMA_SINGLE_ROW) if rng.random() < 0.5 else None
+
+    manifest = (
+        [f"drop {t}.{c}" for t, c in sorted(drops)]
+        + [f"rename {t}.{c} -> {n}" for (t, c), n in sorted(renames.items())]
+        + [f"retype {retype[0]}.{retype[1]} int->bigint"]
+        + [f"allnull {allnull[0]}.{allnull[1]}"]
+        + [f"add {t}.fz_note, {t}.fz_score" for t in sorted(adds)]
+        + ([f"single-row {single[0]}"] if single else [])
+    )
+
+    con = duckdb.connect()
+    pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        desc = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+        sel = []
+        for name, dtyp, *_ in desc:
+            if (t, name) in drops:
+                continue
+            if (t, name) == allnull and (t, name) not in renames:
+                sel.append(f"CAST(NULL AS {dtyp}) AS {name}")
+            elif (t, name) == retype:
+                sel.append(f"CAST({name} AS BIGINT) AS {name}")
+            elif (t, name) in renames:
+                sel.append(f"{name} AS {renames[(t, name)]}")
+            else:
+                sel.append(name)
+        if t in adds:
+            pk = SCHEMA_ADD_PK[t]
+            sel.append(
+                f"CASE WHEN {pk} % 3 = 0 THEN 'alpha' "
+                f"WHEN {pk} % 3 = 1 THEN 'beta' ELSE NULL END AS fz_note"
+            )
+            # % then / 8.0: exact binary fractions, render identically
+            sel.append(f"CAST({pk} % 97 AS DOUBLE) / 8.0 AS fz_score")
+        tail = (
+            f"ORDER BY {single[1]} LIMIT 1"
+            if single and single[0] == t
+            else ""
+        )
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet' {tail}) "
+            f"TO '{outdir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT COUNT(*) FROM '{outdir}/{t}.parquet'").fetchone()[0]
+        print(f"built {t}: {n} rows")
+    con.close()
+    for m in manifest:
+        print(f"mutation: {m}")
+    return manifest
 
 
 def build_dir(outdir: str, seed: int) -> None:
@@ -136,17 +268,24 @@ def build_dir(outdir: str, seed: int) -> None:
 
 def _record_run(path: str, row: dict) -> None:
     """Append ``row`` to the seed matrix at ``path`` (replacing any prior
-    row for the same (seed, src) so re-runs update in place)."""
+    row for the same (seed, src, mode, scope) so re-runs update in place).
+
+    ``scope`` is part of the key by round-5 advice: a partial re-run with
+    an explicit query subset must NOT overwrite a full-surface row — it
+    records separately, visibly labeled by its query list."""
     try:
         with open(path) as f:
             doc = json.load(f)
     except (OSError, ValueError):
         doc = {"runs": []}
-    doc["runs"] = [
-        r for r in doc.get("runs", [])
-        if (r.get("seed"), r.get("src")) != (row["seed"], row["src"])
-    ] + [row]
-    doc["runs"].sort(key=lambda r: (r.get("src", ""), r.get("seed", 0)))
+
+    def key(r):
+        return (r.get("seed"), r.get("src"), r.get("mode", "content"),
+                tuple(r.get("scope") or ()))
+
+    doc["runs"] = [r for r in doc.get("runs", []) if key(r) != key(row)] + [row]
+    doc["runs"].sort(key=lambda r: (r.get("src", ""), r.get("mode", ""),
+                                    r.get("seed", 0)))
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
         f.write("\n")
@@ -156,20 +295,31 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--outdir", default=None)
+    ap.add_argument("--schema", action="store_true",
+                    help="schema-mutation axis (replays SCHEMA_QUERIES)")
     ap.add_argument("--record", default=None,
                     help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    outdir = args.outdir or f"/tmp/fuzzdata-seed{args.seed}"
-    build_dir(outdir, args.seed)
+    mode = "schema" if args.schema else "content"
+    outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
+    manifest: list[str] = []
+    if args.schema:
+        manifest = build_schema_dir(outdir, args.seed)
+        run_queries = args.queries or SCHEMA_QUERIES
+    else:
+        build_dir(outdir, args.seed)
+        run_queries = args.queries
     env = dict(
         os.environ,
         SPARK_GRAFT_CHECK_SF=outdir,
         SPARK_GRAFT_CHECK_TOLERANT="1",
     )
+    if args.schema:
+        env["SPARK_GRAFT_ORACLE_SCHEMA_DIR"] = outdir
     cmd = [sys.executable,
            os.path.join(os.path.dirname(__file__), "check_correctness.py"),
-           *args.queries]
+           *run_queries]
     if not args.record:
         return subprocess.call(cmd, env=env)
     proc = subprocess.run(cmd, env=env, stdout=subprocess.PIPE, text=True)
@@ -190,9 +340,13 @@ def main() -> int:
         elif kind == "WARN":
             for cls, n in re.findall(r"'(\w+)': (\d+)", line):
                 warn_classes[cls] = warn_classes.get(cls, 0) + int(n)
-    _record_run(args.record, {
+    row = {
         "seed": args.seed,
         "src": SRC,
+        "mode": mode,
+        # full surface (content mode, no subset) records scope null;
+        # anything narrower records its exact query list
+        "scope": sorted(run_queries) if run_queries else None,
         "ok": counts["OK"],
         "warn": counts["WARN"],
         "rows_only": counts["ROWS"],
@@ -200,7 +354,10 @@ def main() -> int:
         "warn_classes": warn_classes,
         "failed_queries": failed,
         "exit": proc.returncode,
-    })
+    }
+    if manifest:
+        row["mutations"] = manifest
+    _record_run(args.record, row)
     return proc.returncode
 
 

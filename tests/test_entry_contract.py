@@ -46,6 +46,11 @@ def test_gate_priority_window_is_intact():
     assert not missing, f"_GATE_PRIORITY names not registered: {missing}"
     assert len(gp) == len(set(gp)) == 50, "driver gate window is ~50 queries"
     assert list(q)[: len(gp)] == gp
-    # every gated query must be hash-checked (oracle present), not rows-only
+    # every gated query is hash-checked except the two rows-only-by-contract
+    # members deliberately in the r06 window: file_balance_lineitem (the one
+    # never-gated rows-only query — the rotation must cover it) and
+    # profile_lineitem_approx (the permanent sketch sentinel)
     os_ = m.oracle_sql()
-    assert [k for k in gp if k not in os_] == []
+    assert [k for k in gp if k not in os_] == [
+        "file_balance_lineitem", "profile_lineitem_approx",
+    ]

@@ -46,6 +46,35 @@ def test_size_bytes_parses_spark_forms():
     assert P._size_bytes("512K") == 512 << 10
 
 
+def test_size_bytes_parses_two_letter_suffixes():
+    """Spark's byteStringAsBytes accepts kb/mb/gb/tb/pb — so must we
+    (round-5 advice: '256mb' crashed every guarded query)."""
+    assert P._size_bytes("256mb") == 256 << 20
+    assert P._size_bytes("1gb") == 1 << 30
+    assert P._size_bytes("512kb") == 512 << 10
+    assert P._size_bytes("1tb") == 1 << 40
+    assert P._size_bytes("2pb") == 2 << 50
+    assert P._size_bytes(" 128MB ") == 128 << 20
+    with pytest.raises(ValueError):
+        P._size_bytes("lots")
+    with pytest.raises(ValueError):
+        P._size_bytes("12q")
+
+
+def test_unparseable_size_conf_degrades_to_repartition(spark):
+    """A session with a size conf the parser can't read must degrade to
+    the repartition fallback, not crash the query."""
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "256mb")  # valid for Spark, exercised two-letter
+    try:
+        df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+        assert P._estimate_scan_splits(df) is not None
+        assert P.ensure_parallelism(df).count() > 0
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_estimate_single_local_parquet_is_row_groups(spark):
     """The sf0.001 tables are single-file, few-row-group parquet — the
     exact shape the guard exists for. The estimate must see through the
@@ -87,19 +116,22 @@ def test_ensure_parallelism_noop_when_wide(spark, tmp_path):
     assert out is df
 
 
-def test_ensure_parallelism_does_not_force_physical_planning(spark):
-    """inputFiles() walks the analyzed plan only; executedPlan must not
-    have been compiled by the guard. (The old .rdd probe compiled it.)"""
+def test_ensure_parallelism_triggers_no_job(spark):
+    """The guard's estimate is driver-side metadata only — it must not
+    submit any Spark job (the strongest public observable of "no physical
+    execution"; the no-.rdd grep above separately pins that the plan-
+    compiling probe cannot come back). Run inside a dedicated job group
+    and assert the group stays empty."""
+    sc = spark.sparkContext
     df = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
-    qe = df._jdf.queryExecution()
-    # touching the analyzed plan is fine; the probe must not have
-    # materialized the executed plan lazily cached on the QueryExecution
-    P.ensure_parallelism(df)
-    # Py4J: QueryExecution caches executedPlan lazily; calling the guard
-    # must not populate it. There is no public "is it compiled" probe, so
-    # assert the cheap observable instead: the guard's estimate path
-    # raises no job and the input frame is still plannable.
-    assert qe.analyzed() is not None
+    group = "partitioning-guard-no-job"
+    sc.setJobGroup(group, "ensure_parallelism must not run jobs")
+    try:
+        P.ensure_parallelism(df)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"guard submitted jobs: {jobs}"
 
 
 @pytest.mark.parametrize(
@@ -110,8 +142,62 @@ def test_ensure_parallelism_does_not_force_physical_planning(spark):
     ],
 )
 def test_estimate_remote_paths_fall_back_to_file_count(files, expected):
+    """With no reachable Hadoop FS for the scheme, the remote stat returns
+    None and the estimate falls back to the file-count lower bound."""
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return default
+
+    class FakeSC:
+        defaultParallelism = 32
+        _jvm = None
+        _jsc = None
+
+    class FakeSession:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
     class Fake:
+        sparkSession = FakeSession()
+
         def inputFiles(self):
             return files
 
     assert P._estimate_scan_splits(Fake()) == expected
+
+
+def test_estimate_remote_paths_use_stat_sizes_when_available():
+    """When the Hadoop stat succeeds, a few-large-files remote layout must
+    estimate byte-range splits (not the file count), so the guard no-ops
+    exactly as Spark's own FilePartition math would."""
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return default
+
+    class FakeSC:
+        defaultParallelism = 8
+        _jvm = None
+        _jsc = None
+
+    class FakeSession:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
+    class Fake:
+        sparkSession = FakeSession()
+
+        def inputFiles(self):
+            return ["s3://bucket/a.parquet", "s3://bucket/b.parquet"]
+
+    fake = Fake()
+    gb = 1 << 30
+    orig = P._remote_sizes
+    P._remote_sizes = lambda df, files: {f: gb for f in files}
+    try:
+        est = P._estimate_scan_splits(fake)
+    finally:
+        P._remote_sizes = orig
+    # 2x1GB at 128m maxPartitionBytes -> 8 splits each = 16 >= target 8
+    assert est == 16
