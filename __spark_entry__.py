@@ -1141,8 +1141,12 @@ def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
+            # the product is ROUND6'd in double BEFORE the decimal cast:
+            # raw double->decimal conversion can round apart across engines
+            # on 7th-digit .5 boundaries (see operators/reconcile.py);
+            # identity on the fixed 2-dp testdata prices
             F.expr(
-                f"cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS {dec})) AS double)"
+                f"cast(sum(cast(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {dec})) AS double)"
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1161,8 +1165,12 @@ def _salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join(li, sup, "l_suppkey", "s_suppkey", "l_orderkey", n_salts=4)
         .groupBy("s_nationkey")
         .agg(
+            # the product is ROUND6'd in double BEFORE the decimal cast:
+            # raw double->decimal conversion can round apart across engines
+            # on 7th-digit .5 boundaries (see operators/reconcile.py);
+            # identity on the fixed 2-dp testdata prices
             F.expr(
-                f"cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS {dec})) AS double)"
+                f"cast(sum(cast(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {dec})) AS double)"
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -2567,7 +2575,7 @@ SELECT * FROM (VALUES
         "sample_per_lang_documents": OX.sample_per_group_sql(7, "documents", "lang", "doc_id"),
         "bucketed_join_orders": """
 SELECT o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
@@ -2577,7 +2585,7 @@ GROUP BY o_orderpriority
         ).bigram_pmi_sql("documents", min_count=20),
         "salted_join_lineitem": """
 SELECT s_nationkey,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey

@@ -44,10 +44,22 @@ def reconcile_totals(
     ``detail_expr`` is the per-detail-row contribution (any Column, e.g.
     extended price net of discount plus tax); headers with no detail
     rows class as missing_detail.
+
+    The contribution is ROUND6'd in DOUBLE *before* the decimal cast:
+    double->decimal(_,6) conversion is the one step where engines may
+    legitimately disagree (Spark converts via the double's shortest
+    decimal representation then HALF_UP; DuckDB scales the binary value
+    — a value like 282437.6686905 lands on a 7th-digit .5 boundary and
+    the two round apart; measured ~1.5e-5 per conversion on arbitrary
+    doubles, found by the sf0.1 content fuzz). A 6-dp-pre-rounded double
+    converts identically on both engines, and per-key detail sums are
+    small enough that a 1e-6 wobble is visible through the final double
+    cast. The mirror SQL applies the identical pre-round.
     """
     d = (
         detail.where(F.col(detail_key).isNotNull())
-        .select(F.col(detail_key).alias("key"), detail_expr.cast(DEC).alias("_x"))
+        .select(F.col(detail_key).alias("key"), detail_expr.alias("_raw"))
+        .selectExpr("key", f"CAST({ROUND6.format(x='_raw')} AS {DEC}) AS _x")
         .groupBy("key")
         .agg(F.sum("_x").cast("double").alias("detail_total"))
     )
@@ -100,8 +112,8 @@ def reconcile_totals_sql(
     return f"""
 WITH d AS (
   SELECT {detail_key} AS key,
-    CAST(SUM(CAST({detail_expr_sql} AS DECIMAL(27,6))) AS DOUBLE)
-      AS detail_total
+    CAST(SUM(CAST({ROUND6.format(x=detail_expr_sql)} AS DECIMAL(27,6)))
+      AS DOUBLE) AS detail_total
   FROM {detail_table} WHERE {detail_key} IS NOT NULL GROUP BY 1
 ),
 h AS (

@@ -38,7 +38,10 @@ SF = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 #             (JVM ln/sqrt vs libm differ by 1 in the 6th decimal);
 #   sd_floor: StandardDeviation inside the single-pass-moment cancellation
 #             floor (see oracle._stddev_sql / SURVEY §5.5) — bounded by
-#             1e-7*sqrt(m2), <= 1e-3 at this data's magnitudes.
+#             1e-7*sqrt(m2), <= 1e-3 at this data's magnitudes;
+#   dec6:     double->decimal(_,6) conversion divergence on a 7th-digit
+#             .5 boundary feeding a decimal sum (relative error <= 1e-11,
+#             i.e. ulp-scale on the rollup; see _known_class).
 # With TOLERANT=1 a mismatch whose every cell falls in a known class is
 # reported as WARN, not FAIL. The strict default (the driver-gate replica)
 # is unchanged: the driver hash has no tolerance, and the fixed testdata
@@ -79,6 +82,22 @@ def _known_class(frame: pd.DataFrame, i: int, c, va, vb) -> str | None:
         return None
     if diff <= 1.05e-6:
         return "ulp6"
+    # dec6: double->decimal(_,6) conversion divergence through a decimal
+    # sum — Spark converts via the double's shortest decimal repr then
+    # HALF_UP, DuckDB scales the binary value, and values on a 7th-digit
+    # .5 boundary round apart (~1.5e-5 per conversion on arbitrary
+    # doubles; surfaces only under content fuzz, never on the 2-dp
+    # testdata). The footprint is a few 1e-6 quanta on a data-magnitude
+    # rollup, i.e. relative error at the double-ulp scale — far below any
+    # logic bug observed (woe was 2e-6 RELATIVE). Product sites found by
+    # fuzz are pre-rounded at the source (operators/reconcile.py); this
+    # class covers the raw-column long tail.
+    try:
+        scale = max(abs(float(va)), abs(float(vb)))
+    except (TypeError, ValueError):
+        return None
+    if scale > 0 and diff / scale <= 1e-11:
+        return "dec6"
     # the metrics relation carries the metric in `name`; the catalog
     # parameter sink carries it as `param_key` = '<prefix>StandardDeviation'
     metric = ""
