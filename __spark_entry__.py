@@ -268,15 +268,17 @@ def _profile_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- relational
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style fused aggregation with deterministic decimal sums."""
+    """TPC-H Q1-style fused aggregation with deterministic decimal sums.
+
+    Product terms are ROUND6'd in double BEFORE the decimal cast (SURVEY
+    §5: raw double->decimal conversion is engine-divergent on 7th-digit
+    .5 boundaries; identity on the 2-dp testdata)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.tpch import _dec6
+
     li = _t(spark, sf_dir, "lineitem")
     dec = "decimal(27,6)"
-    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
-    charge = (
-        F.col("l_extendedprice")
-        * (F.lit(1.0) - F.col("l_discount"))
-        * (F.lit(1.0) + F.col("l_tax"))
-    ).cast(dec)
+    disc_price = _dec6("l_extendedprice * (1.0 - l_discount)")
+    charge = _dec6("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -300,13 +302,13 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join (2 broadcast dims) + decimal agg: revenue per nation."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.tpch import _rev
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(27,6)"
-    )
+    rev = _rev()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -3328,8 +3330,8 @@ def oracle_sql() -> dict[str, str]:
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS {dec})) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS {dec})) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {dec})) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 1000000.0 + 0.5) / 1000000.0 AS {dec})) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
   CAST(SUM(CAST(l_discount AS {dec})) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
@@ -3337,7 +3339,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_lines
 """
     o["revenue_by_nation"] = f"""
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS {dec})) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {dec})) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -43,14 +43,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(27,6)"
+ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
 # Late shipment (q4/q21 adaptation without commit/receipt dates): the
 # line shipped more than LATE_DAYS after the order date.
 LATE_DAYS = 90
 
 
+def _dec6(expr_sql: str):
+    """Decimal operand for revenue-style sums: the double product is
+    ROUND6'd *before* the decimal cast — raw double->decimal(_,6)
+    conversion is engine-divergent on 7th-digit .5 boundaries (SURVEY
+    §5 determinism policy; found by the sf0.1 content fuzz). Identity
+    on the fixed 2-dp testdata prices; the oracles apply the same
+    pre-round."""
+    return F.expr(f"CAST({ROUND6.format(x=expr_sql)} AS {DEC})")
+
+
 def _rev(price: str = "l_extendedprice", disc: str = "l_discount"):
-    return (F.col(price) * (F.lit(1.0) - F.col(disc))).cast(DEC)
+    return _dec6(f"{price} * (1.0 - {disc})")
 
 
 def _ts(lit: str):
@@ -179,7 +190,7 @@ def q6_forecast_revenue(
         & (F.col("l_discount") <= F.lit(disc_hi))
         & (F.col("l_quantity") < F.lit(max_qty))
     ).agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+        F.sum(_dec6("l_extendedprice * l_discount"))
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -508,7 +519,7 @@ def q22_global_sales_opportunity(
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-exact ANSI mirrors, aliased identically to the Spark plans."""
-    rev = f"CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})) AS DOUBLE)"
+    rev = f"CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {DEC})) AS DOUBLE)"
     return {
         "q3_shipping_priority": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority, {rev} AS revenue
@@ -551,7 +562,7 @@ ORDER BY revenue DESC, n_name ASC
 """,
         "q6_forecast_revenue": f"""
 SELECT
-  CAST(SUM(CAST(l_extendedprice * l_discount AS {DEC})) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor((l_extendedprice * l_discount) * 1000000.0 + 0.5) / 1000000.0 AS {DEC})) AS DOUBLE) AS revenue,
   COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -580,11 +591,11 @@ ORDER BY supp_nation, cust_nation, l_year
         "q8_market_share": f"""
 SELECT EXTRACT(year FROM o_orderdate) AS o_year,
   CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
-        THEN CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})
+        THEN CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {DEC})
         ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS nation_volume,
   {rev} AS total_volume,
   CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
-        THEN CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})
+        THEN CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {DEC})
         ELSE CAST(0 AS {DEC}) END) AS DOUBLE) / {rev} AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -625,11 +636,11 @@ ORDER BY custdist DESC, c_count DESC
         "q14_promo_revenue": f"""
 SELECT
   100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-        THEN CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})
+        THEN CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {DEC})
         ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
       / {rev} AS promo_revenue_pct,
   CAST(SUM(CASE WHEN p_type = 'PROMO'
-        THEN CAST(l_extendedprice * (1.0 - l_discount) AS {DEC})
+        THEN CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS {DEC})
         ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS promo_revenue,
   {rev} AS total_revenue
 FROM lineitem
