@@ -280,6 +280,36 @@ def headline_names(qs) -> list[str]:
     return names
 
 
+def round_over_round(timings: dict, prev_queries: dict) -> dict:
+    """Mechanical cross-round comparison over the common query set: per-
+    query timing ratios (this/prev), distribution summary, and every
+    mover outside [0.5x, 2x]. Any such mover must be explained or fixed
+    — the documented per-query noise band on this host is ~3x, so a >2x
+    MIN-timing move is already suspicious. Pure function; pinned by
+    tests/test_bench_surface.py."""
+    ratios = {
+        n: round(timings[n] / prev_queries[n], 3)
+        for n in sorted(set(timings) & set(prev_queries))
+        if prev_queries[n] > 0
+    }
+    vals = sorted(ratios.values())
+    movers = {
+        n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+        if r > 2.0 or r < 0.5
+    }
+    prev_total = sum(prev_queries[n] for n in ratios)
+    cur_total = sum(timings[n] for n in ratios)
+    return {
+        "n_common": len(ratios),
+        "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        "median_ratio": vals[len(vals) // 2] if vals else None,
+        "p10_ratio": vals[int(len(vals) * 0.1)] if vals else None,
+        "p90_ratio": vals[int(len(vals) * 0.9)] if vals else None,
+        "movers_outside_2x": movers,
+        "ratios": ratios,
+    }
+
+
 def build_spark():
     from pyspark.sql import SparkSession
 
@@ -386,33 +416,9 @@ def main() -> None:
         prev_round, prev_path = prev[-1]
         with open(prev_path) as f:
             prev_doc = json.load(f)
-        pq = prev_doc.get("queries", {})
-        ratios = {
-            n: round(timings[n] / pq[n], 3)
-            for n in sorted(set(timings) & set(pq))
-            if pq[n] > 0
-        }
-        vals = sorted(ratios.values())
-        movers = {
-            n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
-            if r > 2.0 or r < 0.5
-        }
-        prev_total = sum(pq[n] for n in ratios)
-        cur_total = sum(timings[n] for n in ratios)
-        rr = {
-            "prev_round": prev_round,
-            "prev_detail": os.path.basename(prev_path),
-            "n_common": len(ratios),
-            "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
-            "median_ratio": vals[len(vals) // 2] if vals else None,
-            "p10_ratio": vals[int(len(vals) * 0.1)] if vals else None,
-            "p90_ratio": vals[int(len(vals) * 0.9)] if vals else None,
-            # any mover outside [0.5x, 2x] must be explained or fixed;
-            # the documented per-query noise band on this host is ~3x,
-            # so a >2x MIN-timing move is already suspicious
-            "movers_outside_2x": movers,
-            "ratios": ratios,
-        }
+        rr = round_over_round(timings, prev_doc.get("queries", {}))
+        rr["prev_round"] = prev_round
+        rr["prev_detail"] = os.path.basename(prev_path)
     protocol = {
         "samples_per_query": "min of 2; +1 tie-breaker pass when max > "
         "2*min; +1 late pass for the 10 slowest (correlated-stall guard)",

@@ -30,3 +30,26 @@ def test_every_exclusion_has_a_reason():
         assert isinstance(reason, str) and len(reason) >= 10, (
             f"{name}: exclusion needs a real reason, got {reason!r}"
         )
+
+
+def test_headline_names_are_registered():
+    """A typo'd HEADLINE entry must be impossible: every name resolves."""
+    qs = set(e.queries())
+    assert not set(bench.headline_names(qs)) - qs
+
+
+def test_round_over_round_math():
+    """The cross-round comparison (r5 judge item) on synthetic inputs:
+    ratio table over the common set only, movers outside [0.5x, 2x],
+    zero-prev queries dropped rather than dividing by zero."""
+    prev = {"a": 2.0, "b": 1.0, "c": 4.0, "zero": 0.0, "gone": 1.0}
+    cur = {"a": 1.0, "b": 2.5, "c": 4.0, "zero": 1.0, "new": 9.9}
+    rr = bench.round_over_round(cur, prev)
+    assert rr["ratios"] == {"a": 0.5, "b": 2.5, "c": 1.0}
+    assert rr["n_common"] == 3
+    assert rr["movers_outside_2x"] == {"b": 2.5}
+    assert rr["total_ratio"] == round((1.0 + 2.5 + 4.0) / (2.0 + 1.0 + 4.0), 3)
+    assert rr["median_ratio"] == 1.0
+    empty = bench.round_over_round({"x": 1.0}, {"y": 1.0})
+    assert empty["n_common"] == 0 and empty["total_ratio"] is None
+    assert empty["median_ratio"] is None and empty["movers_outside_2x"] == {}
