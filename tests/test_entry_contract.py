@@ -54,3 +54,24 @@ def test_gate_priority_window_is_intact():
     assert [k for k in gp if k not in os_] == [
         "file_balance_lineitem", "profile_lineitem_approx",
     ]
+
+
+def test_gate_window_completes_the_rotation():
+    """Rotation-completeness invariant: every query that has never had a
+    driver-gated row (absent from all recorded CORRECTNESS_r*.json) must
+    sit inside the current first-50 window, so the next driver run closes
+    the gap. Holds trivially once coverage is complete (empty never-gated
+    set) — i.e. this also pins that the steady-state sentinel window can
+    never strand an ungated query."""
+    import glob
+    import json
+
+    gated: set[str] = set()
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(p) as f:
+            gated |= set(json.load(f))
+    m = _entry()
+    qs = list(m.queries())
+    never = {q for q in qs if q not in gated}
+    stranded = sorted(never - set(qs[:50]))
+    assert stranded == [], f"never-gated queries outside the window: {stranded}"
