@@ -116,6 +116,13 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
             remote = True
             break
     if remote:
+        # Stat remote files only for the few-large-files shape the byte
+        # math matters for. A large file count is already >= any
+        # plausible repartition target, so the count lower bound decides
+        # by itself — and statting thousands of objects would be
+        # thousands of driver RPCs per guard call at 100 TB.
+        if len(files) > 64:
+            return len(files)
         sizes = _remote_sizes(df, files)
         if sizes is None:
             return len(files)

@@ -201,3 +201,36 @@ def test_estimate_remote_paths_use_stat_sizes_when_available():
         P._remote_sizes = orig
     # 2x1GB at 128m maxPartitionBytes -> 8 splits each = 16 >= target 8
     assert est == 16
+
+
+def test_estimate_remote_many_files_skips_stat():
+    """Thousands of remote files must decide by count alone — no per-file
+    driver RPCs (the count already clears any plausible target)."""
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return default
+
+    class FakeSC:
+        defaultParallelism = 32
+        _jvm = None
+        _jsc = None
+
+    class FakeSession:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
+    class Fake:
+        sparkSession = FakeSession()
+
+        def inputFiles(self):
+            return [f"s3://b/part-{i}.parquet" for i in range(500)]
+
+    calls = []
+    orig = P._remote_sizes
+    P._remote_sizes = lambda df, files: calls.append(1) or {}
+    try:
+        est = P._estimate_scan_splits(Fake())
+    finally:
+        P._remote_sizes = orig
+    assert est == 500 and calls == []
