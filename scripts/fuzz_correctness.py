@@ -35,7 +35,8 @@ Usage:
 cell values over the fixed star schema, the seed drives structural edits -
 drop / rename / retype (int->bigint widen) / add columns, one all-NULL
 column, optionally one single-row table - and replays the schema-driven
-query families (profile / constraint-suggestion / diff / sinks) with
+query families (profile incl. grouped/rollup/cube/windowed variants /
+constraint-suggestion / diff / sinks) with
 ``SPARK_GRAFT_ORACLE_SCHEMA_DIR`` pointed at the mutated dir, so the
 DuckDB oracles regenerate from the ACTUAL parquet footers exactly as the
 engine profiles from ``df.schema`` (oracle.derive_schema_columns).
@@ -111,6 +112,11 @@ SCHEMA_QUERIES = [
     "profile_lineitem_approx", "dataset_sizes",
     "publish_metrics_parquet", "catalog_params_sink",
     "suggest_constraints_customer",
+    # grouped/windowed profiles: group keys (c_mktsegment, c_nationkey,
+    # events.ts) are outside every structural-mutation candidate list;
+    # the profiled column set tracks the mutated schema on both sides
+    "profile_customer_by_segment", "rollup_profile_customer",
+    "cube_profile_customer", "profile_events_windowed",
     # frozen-orders family (hardcoded-inventory oracles by contract)
     "verify_orders", "infer_types_orders", "candidate_keys_orders",
     "schema_diff_orders", "table_diff_orders", "diff_summary_orders",
@@ -118,9 +124,10 @@ SCHEMA_QUERIES = [
 
 # Structural-mutation candidates. ``orders`` never appears (frozen, see
 # module docstring); every candidate column is outside the replayed
-# queries' hardcoded references. (table, column) pairs; the seed samples.
+# queries' hardcoded references (group keys included). (table, column)
+# pairs; the seed samples.
 SCHEMA_DROP = [
-    ("customer", "c_mktsegment"), ("part", "p_brand"),
+    ("customer", "c_name"), ("part", "p_brand"),
     ("supplier", "s_name"), ("lineitem", "l_tax"),
     ("events", "props"), ("documents", "source"),
 ]
@@ -151,9 +158,12 @@ def build_schema_dir(outdir: str, seed: int) -> list[str]:
 
     rng = random.Random(seed)
     drops = set(rng.sample(SCHEMA_DROP, k=rng.randint(1, 2)))
+    # a dropped column can't also be renamed (manifest must not lie)
     renames = {
         tc: f"{tc[1]}_fz"
-        for tc in rng.sample(SCHEMA_RENAME, k=rng.randint(1, 2))
+        for tc in rng.sample(
+            [x for x in SCHEMA_RENAME if x not in drops], k=rng.randint(1, 2)
+        )
     }
     retype = rng.choice(SCHEMA_RETYPE)
     # a dropped column can't also be the all-NULL one (manifest must not lie)
