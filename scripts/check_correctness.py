@@ -124,7 +124,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # a table may be a single file OR a directory of part files (the
+        # layout-fuzz axis shards tables); Spark reads both natively,
+        # DuckDB needs the glob form for directories
+        src = f"{SF}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     import __spark_entry__ as e
 

@@ -26,10 +26,19 @@ Usage:
   python scripts/fuzz_correctness.py --seed 1 [--outdir DIR] [query ...]
   python scripts/fuzz_correctness.py --seed 1 --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --schema --record FUZZ.json
+  python scripts/fuzz_correctness.py --seed 1 --layout --record FUZZ.json
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
   curriculum_documents percentile-edge flip — more rows, more chances
   for a value to land exactly on a quantile/fence boundary)
+
+``--layout`` switches to the LAYOUT-mutation axis: identical values,
+seeded physical layout per table (one giant row group / many tiny row
+groups / a DIRECTORY of shard files / as-is, each optionally with a
+seeded value-hash row order). The standard oracles apply unchanged, so
+the FULL surface replays; what it probes is layout invariance — the
+ensure_parallelism split estimator, directory-vs-file table resolution,
+and input-order sensitivity (tie-breaks must be value-based).
 
 ``--schema`` switches to the SCHEMA-mutation axis: instead of perturbing
 cell values over the fixed star schema, the seed drives structural edits -
@@ -62,6 +71,7 @@ import json
 import os
 import pathlib
 import re
+import shutil
 import subprocess
 import sys
 
@@ -225,6 +235,100 @@ def build_schema_dir(outdir: str, seed: int) -> list[str]:
     return manifest
 
 
+# --------------------------------------------------------------- layout axis
+
+# The layout axis rewrites every table with IDENTICAL values but a seeded
+# physical layout: one giant row group, many tiny row groups, a DIRECTORY
+# of shard files, and/or a scrambled row order. Values being equal, the
+# standard oracles apply unchanged and the FULL surface replays; what it
+# tests is everything that must be layout-invariant — scan parallelism and
+# the ensure_parallelism split estimator (row-group math, directory
+# listing), directory-vs-file table resolution in both engines, and any
+# input-order sensitivity hiding in a query (tie-breaks must be
+# value-based, never row-order; a top-k whose ties break "whichever task
+# finished first" fails here and nowhere else).
+
+LAYOUTS = ("giant_rg", "tiny_rg", "shards", "asis")
+
+
+def build_layout_dir(outdir: str, seed: int) -> list[str]:
+    """Rewrite SRC at ``outdir`` with seeded per-table physical layouts;
+    values identical. Returns the per-table layout manifest."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    manifest: list[str] = []
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        n_rows = con.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+        layout = rng.choice(LAYOUTS)
+        shuffle = rng.random() < 0.5
+        # seeded value-based total order: DuckDB hash() is variadic and
+        # NULL-safe, so every row gets a deterministic scramble key
+        order = (
+            f"ORDER BY hash({', '.join(cols)}, {seed})" if shuffle else ""
+        )
+        dst = f"{outdir}/{t}.parquet"
+        # a re-run may leave a prior layout behind (shards COPY refuses a
+        # non-empty dir; a dir blocks a plain-file COPY): clear it
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        body = f"SELECT * FROM '{src}' {order}"
+        if layout == "giant_rg":
+            con.execute(
+                f"COPY ({body}) TO '{dst}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 100000000)"
+            )
+        elif layout == "tiny_rg":
+            con.execute(
+                f"COPY ({body}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)"
+            )
+        elif layout == "shards":
+            # directory of part files: FILE_SIZE_BYTES rolls to a new file
+            # once the current one passes the threshold (needs several row
+            # groups per table for the roll to trigger)
+            size = os.path.getsize(src)
+            con.execute(
+                f"COPY ({body}) TO '{dst}' (FORMAT PARQUET, "
+                f"FILE_SIZE_BYTES {max(size // 4, 16384)}, "
+                f"ROW_GROUP_SIZE {max(2048, (n_rows // 16) + 1)})"
+            )
+        else:
+            con.execute(f"COPY ({body}) TO '{dst}' (FORMAT PARQUET)")
+        if os.path.isdir(dst):
+            parts = sorted(
+                os.path.join(dst, f)
+                for f in os.listdir(dst)
+                if f.endswith(".parquet")
+            )
+        else:
+            parts = [dst]
+        rgs = sum(pq.ParquetFile(p).num_row_groups for p in parts)
+        got = con.sql(
+            "SELECT COUNT(*) FROM "
+            f"'{dst + '/*.parquet' if os.path.isdir(dst) else dst}'"
+        ).fetchone()[0]
+        if got != n_rows:
+            raise SystemExit(f"layout rewrite dropped rows in {t}: {got} != {n_rows}")
+        desc = f"{t}: {layout}{'+shuffle' if shuffle else ''}"
+        desc += f" -> {len(parts)} file(s), {rgs} row group(s), {n_rows} rows"
+        manifest.append(desc)
+        print(f"built {desc}")
+    con.close()
+    return manifest
+
+
 def build_dir(outdir: str, seed: int) -> None:
     con = duckdb.connect()
     # one seeded stream for the whole build: fully reproducible per seed
@@ -307,16 +411,24 @@ def main() -> int:
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--schema", action="store_true",
                     help="schema-mutation axis (replays SCHEMA_QUERIES)")
+    ap.add_argument("--layout", action="store_true",
+                    help="layout-mutation axis (identical values, seeded "
+                         "row groups / shard files / row order; full surface)")
     ap.add_argument("--record", default=None,
                     help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    mode = "schema" if args.schema else "content"
+    if args.schema and args.layout:
+        ap.error("--schema and --layout are mutually exclusive")
+    mode = "schema" if args.schema else "layout" if args.layout else "content"
     outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
     manifest: list[str] = []
     if args.schema:
         manifest = build_schema_dir(outdir, args.seed)
         run_queries = args.queries or SCHEMA_QUERIES
+    elif args.layout:
+        manifest = build_layout_dir(outdir, args.seed)
+        run_queries = args.queries
     else:
         build_dir(outdir, args.seed)
         run_queries = args.queries
@@ -354,7 +466,7 @@ def main() -> int:
         "seed": args.seed,
         "src": SRC,
         "mode": mode,
-        # full surface (content mode, no subset) records scope null;
+        # a full-surface run (no explicit subset) records scope null;
         # anything narrower records its exact query list
         "scope": sorted(run_queries) if run_queries else None,
         "ok": counts["OK"],
