@@ -331,31 +331,42 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as a file-source stream with a synthetic event time
     (deterministic: epoch + doc_id seconds).
 
-    The file streaming source requires a DIRECTORY; the single-file test
-    table is exposed through a symlink in a temp dir (no data copy).
+    The file streaming source requires a DIRECTORY. A sharded table
+    already IS one and streams as-is (the production shape — at scale a
+    stream tails a directory of part files); the single-file test table
+    is exposed through a symlink in a temp dir (no data copy). The file
+    source does not recurse, so symlinking a directory would yield zero
+    input files — the layout-fuzz axis catches that.
     """
     import os
     import tempfile
 
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
-    d = tempfile.mkdtemp(prefix="sg_stream_src_")
-    os.symlink(path, os.path.join(d, "documents.parquet"))
+    if os.path.isdir(path):
+        d = path
+    else:
+        d = tempfile.mkdtemp(prefix="sg_stream_src_")
+        os.symlink(path, os.path.join(d, "documents.parquet"))
     return spark.readStream.schema(schema).parquet(d).withColumn(
         "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
     )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file-source stream (same symlink-directory trick as
-    _doc_stream)."""
+    """events as a file-source stream (same directory handling as
+    _doc_stream: a sharded table streams as-is, a single file via a
+    temp-dir symlink)."""
     import os
     import tempfile
 
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet_table(spark, path).schema
-    d = tempfile.mkdtemp(prefix="sg_stream_ev_")
-    os.symlink(path, os.path.join(d, "events.parquet"))
+    if os.path.isdir(path):
+        d = path
+    else:
+        d = tempfile.mkdtemp(prefix="sg_stream_ev_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
     return spark.readStream.schema(schema).parquet(d)
 
 

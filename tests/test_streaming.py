@@ -315,3 +315,33 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
         for r in sliding_window_counts(df, exact_users=False).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_sources_read_directory_tables(spark, tmp_path):
+    """A table stored as a DIRECTORY of part files (the production layout
+    at scale, and the layout-fuzz shards mutation) must stream identically
+    to the single-file test layout. Regression: the entry's stream helpers
+    symlinked the table path as a file into a temp dir; for a directory
+    the file source found zero input files and every file-backed streaming
+    query returned 0 rows (caught by fuzz --layout seed 51)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+
+    single = "/root/testdata/sf0.001"
+    sharded = tmp_path / "sf"
+    sharded.mkdir()
+    for t in ("documents", "events"):
+        spark.read.parquet(f"{single}/{t}.parquet").repartition(2).write.parquet(
+            str(sharded / f"{t}.parquet")
+        )
+
+    qs = e.queries()
+    for name in ("stream_dedup_exact", "stream_enriched_counts"):
+        got = sorted(map(tuple, qs[name](spark, str(sharded)).collect()))
+        want = sorted(map(tuple, qs[name](spark, single).collect()))
+        assert got == want and len(want) > 0, name
