@@ -345,3 +345,56 @@ def test_stream_sources_read_directory_tables(spark, tmp_path):
         got = sorted(map(tuple, qs[name](spark, str(sharded)).collect()))
         want = sorted(map(tuple, qs[name](spark, single).collect()))
         assert got == want and len(want) > 0, name
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Exactly-once across runs: a second availableNow run over the SAME
+    checkpoint restores the dedup state, so a duplicate of content first
+    seen in run 1 is still suppressed and only genuinely-new content
+    emits — the daily-ingest restart shape at scale."""
+    from datetime import datetime as dt
+
+    src = str(tmp_path / "rs_src")
+    ckpt = str(tmp_path / "rs_ckpt")
+    schema = "doc_id bigint, text string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta", dt(2024, 1, 1, 0, 0)),
+            (2, "gamma", dt(2024, 1, 1, 0, 1)),
+            (3, "Alpha  BETA!", dt(2024, 1, 1, 0, 2)),  # dup of id 1
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "rs_out")
+
+    def run():
+        # memory sink cannot recover from a checkpoint; the file sink is
+        # the restartable production shape
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        q = (
+            stream_exact_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["id"] for r in spark.read.parquet(out).collect()}
+
+    assert run() == {1, 2}
+
+    batch2 = spark.createDataFrame(
+        [
+            (4, "alpha beta", dt(2024, 1, 1, 0, 3)),  # dup across restart
+            (5, "zeta", dt(2024, 1, 1, 0, 4)),        # new content
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    # run 2 resumes from the checkpoint: only the new file is read, the
+    # restored state suppresses id 4, and id 5 is the sole new emission
+    assert run() == {1, 2, 5}
