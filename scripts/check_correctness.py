@@ -112,15 +112,23 @@ def _known_class(frame: pd.DataFrame, i: int, c, va, vb) -> str | None:
 
 def main() -> int:
     only = set(sys.argv[1:])
-    spark = (
+    builder = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .appName("check-correctness")
-        .getOrCreate()
     )
+    # the session-config fuzz axis overlays arbitrary confs (JSON dict) on
+    # top of the defaults: results must be invariant to execution shape
+    # (shuffle partitions, AQE, broadcast thresholds, split sizes)
+    extra = os.environ.get("SPARK_GRAFT_CHECK_SPARK_CONF")
+    if extra:
+        import json as _json
+
+        for k, v in _json.loads(extra).items():
+            builder = builder.config(k, v)
+    spark = builder.appName("check-correctness").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

@@ -27,6 +27,7 @@ Usage:
   python scripts/fuzz_correctness.py --seed 1 --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --schema --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --layout --record FUZZ.json
+  python scripts/fuzz_correctness.py --seed 1 --sparkconf --record FUZZ.json
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
   curriculum_documents percentile-edge flip — more rows, more chances
@@ -235,6 +236,34 @@ def build_schema_dir(outdir: str, seed: int) -> list[str]:
     return manifest
 
 
+# ----------------------------------------------------------------- conf axis
+
+# The session-config axis mutates NOTHING about the data: it replays the
+# full surface on the pristine source under a seeded Spark session shape.
+# Results must be invariant to execution geometry — one-task shuffles,
+# AQE on/off, broadcast joins disabled or forced tiny, scans split into
+# many small byte ranges (64kb exercises the two-letter size-suffix parse
+# in plans/partitioning.py). Anything that leaks partition count, task
+# order, or join strategy into VALUES fails here and nowhere else; the
+# engine's decimal-accumulation policy exists precisely to make sums
+# order-invariant, and this axis is its gate.
+CONF_AXIS: dict[str, list[str]] = {
+    "spark.sql.shuffle.partitions": ["1", "7", "64"],
+    "spark.sql.adaptive.enabled": ["true", "false"],
+    "spark.sql.autoBroadcastJoinThreshold": ["10485760", "-1", "1024"],
+    "spark.sql.files.maxPartitionBytes": ["128m", "1m", "64kb"],
+    "spark.sql.files.openCostInBytes": ["4m", "0"],
+}
+
+
+def pick_conf(seed: int) -> dict[str, str]:
+    """Seeded draw of one value per knob (seed 0 = all defaults)."""
+    import random
+
+    rng = random.Random(seed)
+    return {k: rng.choice(vs) for k, vs in sorted(CONF_AXIS.items())}
+
+
 # --------------------------------------------------------------- layout axis
 
 # The layout axis rewrites every table with IDENTICAL values but a seeded
@@ -414,20 +443,32 @@ def main() -> int:
     ap.add_argument("--layout", action="store_true",
                     help="layout-mutation axis (identical values, seeded "
                          "row groups / shard files / row order; full surface)")
+    ap.add_argument("--sparkconf", action="store_true",
+                    help="session-config axis (pristine data, seeded Spark "
+                         "execution shape; full surface)")
     ap.add_argument("--record", default=None,
                     help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    if args.schema and args.layout:
-        ap.error("--schema and --layout are mutually exclusive")
-    mode = "schema" if args.schema else "layout" if args.layout else "content"
+    if sum((args.schema, args.layout, args.sparkconf)) > 1:
+        ap.error("--schema, --layout and --sparkconf are mutually exclusive")
+    mode = ("schema" if args.schema else "layout" if args.layout
+            else "conf" if args.sparkconf else "content")
     outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
     manifest: list[str] = []
+    conf: dict[str, str] = {}
     if args.schema:
         manifest = build_schema_dir(outdir, args.seed)
         run_queries = args.queries or SCHEMA_QUERIES
     elif args.layout:
         manifest = build_layout_dir(outdir, args.seed)
+        run_queries = args.queries
+    elif args.sparkconf:
+        outdir = SRC  # pristine data; the session shape is the mutation
+        conf = pick_conf(args.seed)
+        manifest = [f"conf {k}={v}" for k, v in conf.items()]
+        for m in manifest:
+            print(f"mutation: {m}")
         run_queries = args.queries
     else:
         build_dir(outdir, args.seed)
@@ -439,6 +480,8 @@ def main() -> int:
     )
     if args.schema:
         env["SPARK_GRAFT_ORACLE_SCHEMA_DIR"] = outdir
+    if conf:
+        env["SPARK_GRAFT_CHECK_SPARK_CONF"] = json.dumps(conf)
     cmd = [sys.executable,
            os.path.join(os.path.dirname(__file__), "check_correctness.py"),
            *run_queries]
