@@ -273,3 +273,28 @@ def test_incremental_dedup_restricts_candidate_side(documents):
     assert "LeftSemi" in p  # the new-id restriction
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_scale_plans_survive_broadcast_threshold_off(spark, embeddings, documents):
+    """Ops teams commonly run 100 TB clusters with
+    autoBroadcastJoinThreshold=-1 (no size-based auto-broadcast). The
+    engine's small sides are broadcast by EXPLICIT F.broadcast hints, so
+    candidate generation must stay equi-join/broadcast-shaped — never
+    degrade to a nested-loop or cartesian — when the threshold is off."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plans = {
+            "ivf_topk": plan_str(
+                S.ivf_topk(embeddings, [0, 1], k=5, n_cells=4, n_probe=2)
+            ),
+            "minhash_lsh": plan_str(D.minhash_lsh_near_duplicates(documents)),
+            "embedding_dedup": plan_str(D.embedding_near_duplicates(embeddings)),
+        }
+        for name, p in plans.items():
+            assert "BroadcastNestedLoopJoin" not in p, name
+            assert "CartesianProduct" not in p, name
+        # the explicit hint still broadcasts the centroid/query side
+        assert "BroadcastExchange" in plans["ivf_topk"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
