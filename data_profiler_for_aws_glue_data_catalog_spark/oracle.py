@@ -488,7 +488,15 @@ def derive_schema_columns(
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
-        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # a sharded table (directory of part files): the shards share
+            # one schema by construction, so the first footer suffices
+            part = sorted(
+                p for p in os.listdir(path) if p.endswith(".parquet")
+            )[0]
+            path = os.path.join(path, part)
+        schema = pq.read_schema(path)
         cols: list[tuple[str, str, str]] = []
         conv: list[str] = []
         for f in schema:
