@@ -257,7 +257,7 @@ CONF_AXIS: dict[str, list[str]] = {
 
 
 def pick_conf(seed: int) -> dict[str, str]:
-    """Seeded draw of one value per knob (seed 0 = all defaults)."""
+    """Seeded draw of one value per knob."""
     import random
 
     rng = random.Random(seed)
@@ -452,6 +452,8 @@ def main() -> int:
     args = ap.parse_args()
     if sum((args.schema, args.layout, args.sparkconf)) > 1:
         ap.error("--schema, --layout and --sparkconf are mutually exclusive")
+    if args.sparkconf and args.outdir:
+        ap.error("--outdir is meaningless with --sparkconf (no data written)")
     mode = ("schema" if args.schema else "layout" if args.layout
             else "conf" if args.sparkconf else "content")
     outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
