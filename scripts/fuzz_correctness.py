@@ -28,6 +28,7 @@ Usage:
   python scripts/fuzz_correctness.py --seed 1 --schema --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --layout --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --sparkconf --record FUZZ.json
+  python scripts/fuzz_correctness.py --seed 1 --schema --layout ...  # combined
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
   curriculum_documents percentile-edge flip — more rows, more chances
@@ -280,13 +281,16 @@ def pick_conf(seed: int) -> dict[str, str]:
 LAYOUTS = ("giant_rg", "tiny_rg", "shards", "asis")
 
 
-def build_layout_dir(outdir: str, seed: int) -> list[str]:
-    """Rewrite SRC at ``outdir`` with seeded per-table physical layouts;
-    values identical. Returns the per-table layout manifest."""
+def build_layout_dir(outdir: str, seed: int, src_dir: str | None = None) -> list[str]:
+    """Rewrite ``src_dir`` (default SRC) at ``outdir`` with seeded
+    per-table physical layouts; values identical. Returns the per-table
+    layout manifest. ``src_dir`` lets the combined --schema --layout mode
+    layout-rewrite an already-schema-mutated directory."""
     import random
 
     import pyarrow.parquet as pq
 
+    src_dir = src_dir or SRC
     rng = random.Random(seed)
     con = duckdb.connect()
     pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
@@ -296,7 +300,7 @@ def build_layout_dir(outdir: str, seed: int) -> list[str]:
     ]
     manifest: list[str] = []
     for t in tables:
-        src = f"{SRC}/{t}.parquet"
+        src = f"{src_dir}/{t}.parquet"
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         n_rows = con.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
         layout = rng.choice(LAYOUTS)
@@ -450,16 +454,25 @@ def main() -> int:
                     help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    if sum((args.schema, args.layout, args.sparkconf)) > 1:
-        ap.error("--schema, --layout and --sparkconf are mutually exclusive")
+    if args.sparkconf and (args.schema or args.layout):
+        ap.error("--sparkconf cannot combine with data-mutation axes")
     if args.sparkconf and args.outdir:
         ap.error("--outdir is meaningless with --sparkconf (no data written)")
-    mode = ("schema" if args.schema else "layout" if args.layout
+    mode = ("schema+layout" if args.schema and args.layout
+            else "schema" if args.schema else "layout" if args.layout
             else "conf" if args.sparkconf else "content")
     outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
     manifest: list[str] = []
     conf: dict[str, str] = {}
-    if args.schema:
+    if args.schema and args.layout:
+        # cross-product axis: structural edits first, then a seeded
+        # physical rewrite of the mutated database — the oracle schema
+        # derivation must read sharded-directory footers correctly
+        staged = f"{outdir}-schema-stage"
+        manifest = build_schema_dir(staged, args.seed)
+        manifest += build_layout_dir(outdir, args.seed, src_dir=staged)
+        run_queries = args.queries or SCHEMA_QUERIES
+    elif args.schema:
         manifest = build_schema_dir(outdir, args.seed)
         run_queries = args.queries or SCHEMA_QUERIES
     elif args.layout:
