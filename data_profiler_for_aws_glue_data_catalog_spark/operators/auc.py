@@ -27,7 +27,10 @@ AUC_COLS = ["n_pos", "n_neg", "auc"]
 
 def roc_auc(df: DataFrame, score_col: str, label: Column) -> DataFrame:
     """One-row (n_pos, n_neg, auc); NULL auc when a class is empty."""
-    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+        materialize,
+        partitioned_prefix_sums,
+    )
 
     base = df.where(F.col(score_col).isNotNull()).select(
         F.col(score_col).cast("double").alias("s"),
@@ -36,7 +39,10 @@ def roc_auc(df: DataFrame, score_col: str, label: Column) -> DataFrame:
     freq = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
     )
-    cum = partitioned_prefix_sums(freq, "s", ["c"])
+    # freq feeds the adaptive count + cumsum + the final reduce (via
+    # contrib): materialize once so the scan + grouped agg run once.
+    freq = materialize(freq)
+    cum = partitioned_prefix_sums(freq, "s", ["c"], pinned=True)
     # average rank of value s = cum_before + (c+1)/2; doubled to stay
     # integral: 2*avgrank = 2*(cum_c - c) + c + 1
     contrib = cum.select(

@@ -152,10 +152,16 @@ def ks_statistic(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
     )
     # adaptive distributed prefix sums: plain window for small distinct
-    # relations, two-phase cumsum when the value domain is data-sized
-    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+    # relations, two-phase cumsum when the value domain is data-sized.
+    # f feeds three consumers (adaptive count, CDF, totals): materialize
+    # once so the two scans + aggs + join run exactly once.
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+        materialize,
+        partitioned_prefix_sums,
+    )
 
-    cdf = partitioned_prefix_sums(f, "v", ["cl", "cr"]).select(
+    f = materialize(f)
+    cdf = partitioned_prefix_sums(f, "v", ["cl", "cr"], pinned=True).select(
         "v",
         F.col("cum_cl").alias("cuml"),
         F.col("cum_cr").alias("cumr"),

@@ -172,9 +172,15 @@ def best_split(
     freq = base.groupBy("x").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
     )
-    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+        materialize,
+        partitioned_prefix_sums,
+    )
 
-    cum = partitioned_prefix_sums(freq, "x", ["c", "p"]).select(
+    # freq feeds three consumers (adaptive count, cumsums, totals):
+    # materialize once so the scan + grouped agg run exactly once.
+    freq = materialize(freq)
+    cum = partitioned_prefix_sums(freq, "x", ["c", "p"], pinned=True).select(
         "x",
         F.col("cum_c").alias("nl"),
         F.col("cum_p").alias("pl"),

@@ -32,7 +32,10 @@ W1_COLS = ["column", "n_left", "n_right", "w1"]
 def wasserstein_1d(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
     """Single-row W1 distance between the two frames' distributions of a
     numeric column (NULLs excluded)."""
-    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+        materialize,
+        partitioned_prefix_sums,
+    )
 
     lf = (
         left.where(F.col(col).isNotNull())
@@ -51,7 +54,10 @@ def wasserstein_1d(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
         F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
     )
-    cum = partitioned_prefix_sums(f, "v", ["cl", "cr"])
+    # f feeds three consumers (adaptive count, cumsums, totals):
+    # materialize once so the two scans + aggs + join run exactly once.
+    f = materialize(f)
+    cum = partitioned_prefix_sums(f, "v", ["cl", "cr"], pinned=True)
     tot = f.agg(F.sum("cl").alias("nl"), F.sum("cr").alias("nr"))
     # gap to the next distinct value; the last value contributes no area
     wlead = Window.orderBy("v")

@@ -208,6 +208,7 @@ def partitioned_prefix_sums(
     sum_cols: list[str],
     num_partitions: int | None = None,
     small_threshold: int = 1_000_000,
+    pinned: bool = False,
 ) -> DataFrame:
     """Distributed prefix sums: for each ``c`` in ``sum_cols`` add
     ``cum_<c>`` = sum of c over all rows with order_col <= this row's
@@ -235,9 +236,22 @@ def partitioned_prefix_sums(
     collect; a 1M-row sorted window is a sub-second single task) — the
     distributed path engages only when the distinct relation is actually
     data-sized. Both paths produce identical values.
+
+    COMPUTE-ONCE: the input is ``materialize``d before the adaptive
+    ``count()`` so the upstream aggregation (typically a groupBy-frequency
+    over a data-sized scan) runs exactly once — previously the count and
+    the cumsum each recomputed it. Callers that consume the same relation
+    again (a totals agg beside the CDF) should ``materialize`` it
+    themselves and pass ``pinned=True`` to skip the second checkpoint;
+    the frame they pass then serves every consumer from the stored
+    blocks. The big path's internal re-checkpoint of the range-
+    repartitioned frame stays: partition ids must be pinned for its two
+    consumers, and the stored relation is the same size either way.
     """
     from pyspark.sql import Window, functions as F
 
+    if not pinned:
+        df = materialize(df)
     if df.count() <= small_threshold:
         w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         return df.select(
