@@ -3116,39 +3116,22 @@ FROM (
 #   never-gated set, is deferred to the r06 remainder of 33 so every
 #   slot this round earns a full hash check).  All 50 came back green
 #   (CORRECTNESS_r05.json).
-#   r06 (THIS window, the final rotation): the 33 queries that have never
-#   had a driver-hashed row — verified as exactly queries() minus the
-#   union of names in CORRECTNESS_r01-r05 — lead the window, so after
-#   this round EVERY registered query has a driver-green row on record.
-#   file_balance_lineitem is rows-only by declared contract (parquet
-#   layout diagnostics; no SQL oracle).  The remaining 17 slots are the
-#   PERMANENT SENTINELS the window keeps from r07 on: the 3 former dtype
-#   reds (woe_lang_documents, auc_documents, dedup_eval_lsh), the sketch
-#   rows-only rep (profile_lineitem_approx), streaming reps
-#   (stream_stream_join_events, stream_dedup_exact), the heaviest profile
-#   paths (profile_database_scan, db_health_summary, profile_lineitem,
-#   profile_lineitem_incremental, profile_lineitem_observed), the
-#   distributed-rank / percentile-edge machinery (spearman_lineitem,
-#   winsorized_stats_lineitem, equidepth_histogram_lineitem) and one rep
-#   each for LSH / ANN / iterative clustering (dedup_minhash_lsh,
-#   ann_ivf_topk, kmeans_train).
+#   r06 (the final rotation) gated the 33 queries that had never had a
+#   driver-hashed row — all 50 green (CORRECTNESS_r06.json), so EVERY
+#   registered query now has a driver-green row on record.
+#   r07+ STEADY STATE: the window is the 17 PERMANENT SENTINELS (the 3
+#   former dtype reds, the sketch rows-only rep, streaming reps, the
+#   heaviest profile paths, the distributed-rank/percentile-edge
+#   machinery, one rep each for LSH/ANN/iterative clustering) plus the
+#   33 LEAST-RECENTLY-GATED queries, so the oldest driver-green rows are
+#   refreshed each round and gate recency stays bounded.  For r07 that
+#   is the full 25-query r02 cohort (their green rows predate four
+#   rounds of engine evolution: decimal policy, output casts, the
+#   percentile-edge mirror, planning-free parallelism) plus 8
+#   family-diverse picks from the r03 cohort (exact/ngram dedup, KNN
+#   join, sessionization, funnels, TPC-H Q1, TF-IDF, stream enrichment).
 _GATE_PRIORITY = [
-    # --- the 33 never-driver-hashed queries, in registration order ---
-    "rank_normalize_events", "association_rules_lineitem", "impute_events",
-    "top_paths_events", "interarrival_stats_events",
-    "sample_quotas_documents", "embedding_drift_halves",
-    "quality_by_source_documents", "dedup_resolve_by_quality",
-    "unigram_surprisal_documents", "transition_conformance_events",
-    "completeness_slices_events", "buyers_intersect_except",
-    "aqp_mean_lineitem", "curriculum_documents", "wow_change_events",
-    "pareto_customers", "unpivot_lineitem_measures",
-    "repeated_passages_documents", "zscore_events", "ab_compare_events",
-    "weighted_sample_documents", "bloom_semi_join_lineitem",
-    "reconcile_orders", "pool_embeddings_by_label", "sliding_counts_events",
-    "dedup_within_events", "align_union_orders", "negative_pairs_documents",
-    "fill_gaps_events", "compact_events", "missing_days_events",
-    "file_balance_lineitem",  # rows-only by contract (layout diagnostics)
-    # --- permanent sentinels (steady-state window from r07 on) ---
+    # --- permanent sentinels ---
     "woe_lang_documents", "auc_documents", "dedup_eval_lsh",
     "profile_lineitem_approx", "stream_stream_join_events",
     "stream_dedup_exact", "profile_database_scan", "db_health_summary",
@@ -3156,6 +3139,20 @@ _GATE_PRIORITY = [
     "profile_lineitem_observed", "spearman_lineitem",
     "winsorized_stats_lineitem", "equidepth_histogram_lineitem",
     "dedup_minhash_lsh", "ann_ivf_topk", "kmeans_train",
+    # --- r02 cohort: last driver-hashed in CORRECTNESS_r02 ---
+    "ann_lsh_topk", "compliance_events_windowed", "dataset_sizes",
+    "dedup_embedding_exact", "distinct_metric_names",
+    "ivf_inertia_embeddings", "kmeans_step", "metrics_typed_join",
+    "multimodal_binary_dedup", "multimodal_decode_features",
+    "profile_catalog_scan", "profile_customer", "profile_documents",
+    "profile_embeddings", "profile_events", "profile_events_windowed",
+    "profile_nation", "profile_orders", "profile_part", "profile_region",
+    "profile_supplier", "text_fingerprints", "text_language_id",
+    "text_stats", "truncation_recall_embeddings",
+    # --- r03 cohort picks (family-diverse) ---
+    "dedup_exact", "dedup_ngram_jaccard", "knn_join_embeddings",
+    "sessionize_events", "funnel_events", "q1_pricing_summary",
+    "tfidf_documents", "stream_enriched_counts",
 ]
 
 

@@ -46,14 +46,12 @@ def test_gate_priority_window_is_intact():
     assert not missing, f"_GATE_PRIORITY names not registered: {missing}"
     assert len(gp) == len(set(gp)) == 50, "driver gate window is ~50 queries"
     assert list(q)[: len(gp)] == gp
-    # every gated query is hash-checked except the two rows-only-by-contract
-    # members deliberately in the r06 window: file_balance_lineitem (the one
-    # never-gated rows-only query — the rotation must cover it) and
-    # profile_lineitem_approx (the permanent sketch sentinel)
+    # every gated query is hash-checked except the one rows-only-by-contract
+    # member of the steady-state window: profile_lineitem_approx (the
+    # permanent sketch sentinel).  file_balance_lineitem, the only other
+    # rows-only query, earned its driver row in the r06 rotation.
     os_ = m.oracle_sql()
-    assert [k for k in gp if k not in os_] == [
-        "file_balance_lineitem", "profile_lineitem_approx",
-    ]
+    assert [k for k in gp if k not in os_] == ["profile_lineitem_approx"]
 
 
 def test_gate_window_completes_the_rotation():
