@@ -491,11 +491,16 @@ def derive_schema_columns(
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             # a sharded table (directory of part files): the shards share
-            # one schema by construction, so the first footer suffices
-            part = sorted(
+            # one schema by construction (a single COPY/write produced
+            # them), so the first footer suffices
+            parts = sorted(
                 p for p in os.listdir(path) if p.endswith(".parquet")
-            )[0]
-            path = os.path.join(path, part)
+            )
+            if not parts:
+                raise FileNotFoundError(
+                    f"no .parquet parts in directory table {path}"
+                )
+            path = os.path.join(path, parts[0])
         schema = pq.read_schema(path)
         cols: list[tuple[str, str, str]] = []
         conv: list[str] = []

@@ -301,8 +301,25 @@ def build_layout_dir(outdir: str, seed: int, src_dir: str | None = None) -> list
     manifest: list[str] = []
     for t in tables:
         src = f"{src_dir}/{t}.parquet"
-        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
-        n_rows = con.sql(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+        # the source table may itself be a shard DIRECTORY (a prior layout
+        # run, or the schema stage of the combined axis): read via glob
+        # and sum the part sizes — getsize() on a directory returns the
+        # inode size and a plain-path DuckDB read fails
+        if os.path.isdir(src):
+            src_parts = [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            ]
+            if not src_parts:
+                raise SystemExit(f"no .parquet parts in source table {src}")
+            src_rd = f"{src}/*.parquet"
+            src_size = sum(os.path.getsize(p) for p in src_parts)
+        else:
+            src_rd = src
+            src_size = os.path.getsize(src)
+        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src_rd}'").fetchall()]
+        n_rows = con.sql(f"SELECT COUNT(*) FROM '{src_rd}'").fetchone()[0]
         layout = rng.choice(LAYOUTS)
         shuffle = rng.random() < 0.5
         # seeded value-based total order: DuckDB hash() is variadic and
@@ -317,7 +334,7 @@ def build_layout_dir(outdir: str, seed: int, src_dir: str | None = None) -> list
             shutil.rmtree(dst)
         elif os.path.exists(dst):
             os.remove(dst)
-        body = f"SELECT * FROM '{src}' {order}"
+        body = f"SELECT * FROM '{src_rd}' {order}"
         if layout == "giant_rg":
             con.execute(
                 f"COPY ({body}) TO '{dst}' "
@@ -331,7 +348,7 @@ def build_layout_dir(outdir: str, seed: int, src_dir: str | None = None) -> list
             # directory of part files: FILE_SIZE_BYTES rolls to a new file
             # once the current one passes the threshold (needs several row
             # groups per table for the roll to trigger)
-            size = os.path.getsize(src)
+            size = src_size
             con.execute(
                 f"COPY ({body}) TO '{dst}' (FORMAT PARQUET, "
                 f"FILE_SIZE_BYTES {max(size // 4, 16384)}, "
@@ -471,6 +488,9 @@ def main() -> int:
         staged = f"{outdir}-schema-stage"
         manifest = build_schema_dir(staged, args.seed)
         manifest += build_layout_dir(outdir, args.seed, src_dir=staged)
+        # the staged copy's content now lives (re-laid-out) in outdir;
+        # don't accumulate mutated datasets in /tmp across seeds
+        shutil.rmtree(staged)
         run_queries = args.queries or SCHEMA_QUERIES
     elif args.schema:
         manifest = build_schema_dir(outdir, args.seed)

@@ -10,6 +10,7 @@ bug), and (c) actually produces the layout its manifest claims.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import duckdb
@@ -82,6 +83,12 @@ def test_manifest_matches_actual_layout(built):
         )
         rgs = sum(pq.ParquetFile(p).num_row_groups for p in parts)
         assert f"-> {len(parts)} file(s), {rgs} row group(s)" in m
-    assert len(by_table["lineitem"].split("->")[0]) > 0
+    # every manifest entry follows the documented shape
+    for t, m in by_table.items():
+        assert re.fullmatch(
+            rf"{t}: \w+(\+shuffle)? -> \d+ file\(s\), \d+ row group\(s\), "
+            rf"\d+ rows",
+            m,
+        ), m
     lineitem_parts = os.listdir(f"{out}/lineitem.parquet")
     assert len([f for f in lineitem_parts if f.endswith(".parquet")]) >= 2
