@@ -319,6 +319,37 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return out.where(F.col("_norm") > 0)
 
 
+def entity_normed(
+    embs: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, _v, _norm) with exactly ONE row per id.
+
+    The similarity/clustering family treats ``id`` as an ENTITY key: a
+    top-k neighbor list or a centroid seed set with one entity repeated
+    is meaningless, and physical duplicate rows (re-ingests, hot-key
+    amplification — the skew fuzz axis) must not change results.
+    Duplicate-id rows collapse to the lexicographically smallest
+    (_v, _norm) representative via min(struct(...)) — value-based, so
+    both engines pick the identical row (oracle mirror:
+    oracle_ext._normed_vectors_sql).  The groupBy's partial (map-side)
+    aggregation collapses a hot duplicated id before the exchange, so
+    the dedup itself is skew-proof; on already-unique ids it is one
+    pass-through shuffle of the narrow (id, vector) projection.
+    """
+    d = with_norm(embs, vec_col).select(
+        F.col(id_col).alias("id"), "_v", "_norm"
+    )
+    return (
+        d.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(F.col("_v").alias("v"), F.col("_norm").alias("n"))
+            ).alias("_m")
+        )
+        .select("id", F.col("_m.v").alias("_v"), F.col("_m.n").alias("_norm"))
+    )
+
+
 def _pair_cosine(va: Column, na: Column, vb: Column, nb: Column) -> Column:
     return X.round6(dot(va, vb) / (na * nb))
 
@@ -349,8 +380,8 @@ def embedding_near_duplicates(
         collect_centroids,
     )
 
-    e = ensure_parallelism(
-        with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    e = entity_normed(
+        ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
     )
     e = materialize(e)  # both self-join sides + the centroid collect share it
     cos = _pair_cosine(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
-from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import with_norm
+from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import entity_normed
 from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import (
     assign_cells,
     collect_centroids,
@@ -111,8 +111,8 @@ def kmeans_step(
     Empty cells vanish from the output (standard Lloyd: a centroid with
     no members has no mean; callers re-seed or drop the cell).
     """
-    e = ensure_parallelism(
-        with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    e = entity_normed(
+        ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
     )
     cents = centroids if centroids is not None else collect_centroids(e, n_cells)
     assigned = assign_cells(e, cents)

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
-from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot, with_norm
+from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot
 from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
     ensure_parallelism,
     materialize,
@@ -51,13 +51,17 @@ def _cos(va: Column, na: Column, vb: Column, nb: Column) -> Column:
 
 
 def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Normed vector frame, eagerly materialized: every consumer
-    (query-side filter, centroid collect, scoring scan — often launched
-    CONCURRENTLY by AQE) re-executes the cast+norm subtree otherwise.
-    MEMORY_AND_DISK — at 100 TB this spills like a shuffle."""
+    """Entity-keyed normed vector frame, eagerly materialized: every
+    consumer (query-side filter, centroid collect, scoring scan — often
+    launched CONCURRENTLY by AQE) re-executes the cast+norm+dedup subtree
+    otherwise.  One row per id (dedup.entity_normed): duplicate physical
+    rows must not repeat inside a top-k list or fill the centroid seed
+    set.  MEMORY_AND_DISK — at 100 TB this spills like a shuffle."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import entity_normed
+
     return materialize(
-        ensure_parallelism(
-            with_norm(embs, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+        entity_normed(
+            ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
         )
     )
 

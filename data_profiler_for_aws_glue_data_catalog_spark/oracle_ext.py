@@ -628,11 +628,19 @@ SELECT doc_a, doc_b, hamming FROM (
 
 
 def _normed_vectors_sql(table: str, vec_col: str, id_col: str) -> str:
+    """One row per id (entity-key contract, dedup.entity_normed parity):
+    duplicate-id rows collapse to the lexicographically smallest
+    (v, nrm) representative, zero vectors dropped first — same filter
+    order as the engine's with_norm -> groupBy(id).min(struct)."""
     return f"""
 SELECT id, v, nrm FROM (
-  SELECT {id_col} AS id, v, sqrt({dot_sql('v', 'v')}) AS nrm
-  FROM (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table})
-) WHERE nrm > 0
+  SELECT id, v, nrm,
+    row_number() OVER (PARTITION BY id ORDER BY v, nrm) AS _rn
+  FROM (
+    SELECT {id_col} AS id, v, sqrt({dot_sql('v', 'v')}) AS nrm
+    FROM (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table})
+  ) WHERE nrm > 0
+) WHERE _rn = 1
 """
 
 

@@ -28,6 +28,7 @@ Usage:
   python scripts/fuzz_correctness.py --seed 1 --schema --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --layout --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --sparkconf --record FUZZ.json
+  python scripts/fuzz_correctness.py --seed 1 --skew --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --schema --layout ...  # combined
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
@@ -41,6 +42,13 @@ seeded value-hash row order). The standard oracles apply unchanged, so
 the FULL surface replays; what it probes is layout invariance — the
 ensure_parallelism split estimator, directory-vs-file table resolution,
 and input-order sensitivity (tie-breaks must be value-based).
+
+``--skew`` switches to the SKEW axis: a seeded hot key per chosen table
+is amplified 16-128x (every row of its group replicated) and optionally
+~20% of one FK-ish column goes NULL, so the NULL group itself is the hot
+bucket. Standard oracles recompute on the mutated tables (values change,
+like the content axis); the gate proves every query's VALUES are
+skew-invariant while wall-clock bounds candidate-generation blowups.
 
 ``--schema`` switches to the SCHEMA-mutation axis: instead of perturbing
 cell values over the fixed star schema, the seed drives structural edits -
@@ -265,6 +273,104 @@ def pick_conf(seed: int) -> dict[str, str]:
     return {k: rng.choice(vs) for k, vs in sorted(CONF_AXIS.items())}
 
 
+# ----------------------------------------------------------------- skew axis
+
+# The skew axis amplifies ONE seeded hot key per chosen table: every row
+# of the key's group is replicated until the group is 16-128x its
+# original size — the shape that breaks shuffle-based plans at scale
+# (hot groupBy partitions, skewed join sides, an LSH/shingle bucket
+# going quadratic, a single-key window holding most of the data) — and
+# optionally NULLs out ~20% of one foreign-key-ish column, making the
+# NULL group itself the hot bucket. Values change, so (like the content
+# axis) the standard oracles recompute on the mutated tables: the gate
+# proves every registered query is SKEW-INVARIANT in values, while the
+# run's wall-clock bounds that no candidate generator degenerates into
+# an all-pairs blowup on a hot bucket. All mutation choices are
+# value-hash-seeded (no engine RNG), so a seed is fully reproducible.
+
+SKEW_HOT = [  # (table, key column) hot-group candidates; seed samples
+    ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"), ("events", "user_id"),
+    ("documents", "doc_id"), ("embeddings", "vec_id"),
+]
+SKEW_NULLKEY = [  # FK-ish keys safe to NULL (never PK/identity columns)
+    ("lineitem", "l_suppkey"), ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+SKEW_AMP = (16, 32, 64, 128)
+
+
+def build_skew_dir(outdir: str, seed: int) -> list[str]:
+    """Build a skew-amplified copy of SRC at ``outdir``; returns the
+    mutation manifest (recorded in FUZZ.json)."""
+    import random
+
+    rng = random.Random(seed)
+    # up to 3 hot targets, at most one per table
+    targets: dict[str, str] = {}
+    for t, c in rng.sample(SKEW_HOT, k=len(SKEW_HOT)):
+        if t not in targets and len(targets) < 3:
+            targets[t] = c
+    amp = {t: rng.choice(SKEW_AMP) for t in targets}
+    nullkey = rng.choice(SKEW_NULLKEY) if rng.random() < 0.5 else None
+    if nullkey and targets.get(nullkey[0]) == nullkey[1]:
+        nullkey = None  # can't NULL the column we replicate by
+
+    con = duckdb.connect()
+    pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    manifest: list[str] = []
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        cols = [
+            r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        ]
+        sel = list(cols)
+        if nullkey and nullkey[0] == t:
+            nk = nullkey[1]
+            # value-hash-seeded ~20% NULL: the NULL group goes hot
+            sel = [
+                (
+                    f"CASE WHEN hash({', '.join(cols)}, {seed}) % 5 = 0 "
+                    f"THEN NULL ELSE {nk} END AS {nk}"
+                    if c == nk
+                    else c
+                )
+                for c in sel
+            ]
+            manifest.append(f"nullkey {t}.{nk} ~20%")
+        body = f"SELECT {', '.join(sel)} FROM '{src}'"
+        if t in targets:
+            c, k = targets[t], amp[t]
+            hot = con.sql(
+                f"SELECT {c} FROM '{src}' WHERE {c} IS NOT NULL "
+                f"GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1"
+            ).fetchone()[0]
+            hv = f"'{hot}'" if isinstance(hot, str) else repr(hot)
+            g = con.sql(
+                f"SELECT COUNT(*) FROM '{src}' WHERE {c} = {hv}"
+            ).fetchone()[0]
+            body = (
+                f"SELECT * FROM ({body}) "
+                f"UNION ALL "
+                f"SELECT b.* FROM ({body}) b, range({k - 1}) "
+                f"WHERE b.{c} = {hv}"
+            )
+            manifest.append(f"skew {t}.{c}={hot} x{k} ({g} -> {g * k} rows)")
+        con.execute(
+            f"COPY ({body}) TO '{outdir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT COUNT(*) FROM '{outdir}/{t}.parquet'").fetchone()[0]
+        print(f"built {t}: {n} rows")
+    con.close()
+    for m in manifest:
+        print(f"mutation: {m}")
+    return manifest
+
+
 # --------------------------------------------------------------- layout axis
 
 # The layout axis rewrites every table with IDENTICAL values but a seeded
@@ -467,17 +573,23 @@ def main() -> int:
     ap.add_argument("--sparkconf", action="store_true",
                     help="session-config axis (pristine data, seeded Spark "
                          "execution shape; full surface)")
+    ap.add_argument("--skew", action="store_true",
+                    help="skew axis (seeded hot-key amplification + "
+                         "NULL-key groups; full surface)")
     ap.add_argument("--record", default=None,
                     help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    if args.sparkconf and (args.schema or args.layout):
+    if args.sparkconf and (args.schema or args.layout or args.skew):
         ap.error("--sparkconf cannot combine with data-mutation axes")
+    if args.skew and (args.schema or args.layout):
+        ap.error("--skew is a standalone data axis")
     if args.sparkconf and args.outdir:
         ap.error("--outdir is meaningless with --sparkconf (no data written)")
     mode = ("schema+layout" if args.schema and args.layout
             else "schema" if args.schema else "layout" if args.layout
-            else "conf" if args.sparkconf else "content")
+            else "conf" if args.sparkconf else "skew" if args.skew
+            else "content")
     outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
     manifest: list[str] = []
     conf: dict[str, str] = {}
@@ -497,6 +609,9 @@ def main() -> int:
         run_queries = args.queries or SCHEMA_QUERIES
     elif args.layout:
         manifest = build_layout_dir(outdir, args.seed)
+        run_queries = args.queries
+    elif args.skew:
+        manifest = build_skew_dir(outdir, args.seed)
         run_queries = args.queries
     elif args.sparkconf:
         outdir = SRC  # pristine data; the session shape is the mutation
