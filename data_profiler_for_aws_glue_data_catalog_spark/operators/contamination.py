@@ -51,7 +51,20 @@ def contamination(
         .select(F.explode("sh").alias("h"))
         .distinct()
     )
-    bench_sets = _shingle_sets(bench, text_col, id_col, n)
+    # ENTITY-KEY contract (one output row per benchmark doc id): physical
+    # duplicate bench rows would otherwise both multiply output rows AND
+    # corrupt the value — n_hit aggregates over every copy's shingles
+    # while sz stays per-doc, pushing containment past 1.0 (found by the
+    # skew fuzz axis, seed 1: 128 copies of one doc_id). Duplicates
+    # collapse to the lexicographically smallest text; min's map-side
+    # partial agg makes the dedup itself skew-proof. The corpus side
+    # needs nothing: its shingles are DISTINCT'd anyway.
+    bench_one = (
+        bench.select(F.col(id_col), F.col(text_col))
+        .groupBy(id_col)
+        .agg(F.min(text_col).alias(text_col))
+    )
+    bench_sets = _shingle_sets(bench_one, text_col, id_col, n)
     bench_pairs = bench_sets.select("id", "sz", F.explode("sh").alias("h"))
     hits = (
         bench_pairs.join(corpus_sh, "h")
@@ -85,9 +98,13 @@ def contamination_sql(
     from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import _shingle_sets_sql
 
     cont = "CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(sz AS DOUBLE)"
+    bench_one = (
+        f"(SELECT {id_col}, MIN({text_col}) AS {text_col} "
+        f"FROM ({bench_sql}) GROUP BY 1)"
+    )
     return f"""
 WITH cs AS ({_shingle_sets_sql(f"({corpus_sql})", text_col, id_col, n)}),
-bs AS ({_shingle_sets_sql(f"({bench_sql})", text_col, id_col, n)}),
+bs AS ({_shingle_sets_sql(bench_one, text_col, id_col, n)}),
 corpus_sh AS (SELECT DISTINCT unnest(sh) AS h FROM cs),
 bench_pairs AS (SELECT id, sz, unnest(sh) AS h FROM bs),
 hits AS (

@@ -49,7 +49,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
-from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import ensure_parallelism, materialize
+from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+    ensure_parallelism,
+    materialize,
+    materialize_wide,
+)
 
 
 def exact_duplicates(
@@ -383,7 +387,10 @@ def embedding_near_duplicates(
     e = entity_normed(
         ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
     )
-    e = materialize(e)  # both self-join sides + the centroid collect share it
+    # both self-join sides + the centroid collect share it; _wide keeps
+    # the downstream pair-cosine stages cluster-width (AQE coalesces the
+    # small dedup agg to one partition otherwise)
+    e = materialize_wide(e)
     cos = _pair_cosine(
         F.col("a._v"), F.col("a._norm"), F.col("b._v"), F.col("b._norm")
     )

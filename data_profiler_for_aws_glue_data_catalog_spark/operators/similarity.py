@@ -43,6 +43,7 @@ from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot
 from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
     ensure_parallelism,
     materialize,
+    materialize_wide,
 )
 
 
@@ -59,7 +60,7 @@ def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     set.  MEMORY_AND_DISK — at 100 TB this spills like a shuffle."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import entity_normed
 
-    return materialize(
+    return materialize_wide(
         entity_normed(
             ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
         )

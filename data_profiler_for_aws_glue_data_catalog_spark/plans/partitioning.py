@@ -202,6 +202,33 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def materialize_wide(df: DataFrame) -> DataFrame:
+    """``materialize`` + restore cluster-width partitioning when AQE
+    collapsed the plan's tail exchange.
+
+    AQE coalesces shuffle outputs by BYTES (64 MB advisory), so a small
+    aggregated relation (deduped vectors, a frequency table) checkpoints
+    as ONE partition — and every CPU-heavy consumer (all-pairs cosine,
+    banded self-joins) then runs single-task no matter the cluster size.
+    Reading ``.rdd.getNumPartitions()`` on the ALREADY-materialized frame
+    is a metadata lookup on the checkpointed block RDD — the plan has
+    executed, so unlike probing a lazy frame this compiles nothing and
+    cannot pin a pre-AQE shape.  When the stored width is below the
+    cluster default, one explicit round-robin repartition (AQE never
+    coalesces a user-specified count) re-widens it; the re-checkpoint
+    moves only the small relation.  At 100 TB the aggregated relation is
+    byte-wide already and this is a pure no-op.
+    """
+    m = materialize(df)
+    n = m.sparkSession.sparkContext.defaultParallelism
+    if m.rdd.getNumPartitions() < n:
+        # lazy on purpose: each consumer re-runs the repartition from the
+        # checkpointed blocks — a sub-100ms shuffle of a small relation,
+        # cheaper than a second eager checkpoint of the same data
+        return m.repartition(n)
+    return m
+
+
 def partitioned_prefix_sums(
     df: DataFrame,
     order_col: str,
