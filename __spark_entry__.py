@@ -2629,8 +2629,11 @@ GROUP BY s_nationkey
             "text",
         ),
         "stream_enriched_counts": """
+-- no ELSE: a NULL user_id yields a NULL tier, mirroring the engine's
+-- LEFT stream-static join (unknown keys keep the fact row, enrichment
+-- NULL — never silently misclassified into a real tier)
 SELECT CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
-  ELSE 'bronze' END AS tier,
+  WHEN 2 THEN 'bronze' END AS tier,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
 FROM events

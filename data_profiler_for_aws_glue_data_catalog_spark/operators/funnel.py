@@ -62,9 +62,17 @@ def funnel(
         f"named_struct('k', 0, 't', cast({_MIN_LONG} AS long)), "
         f"(acc, e) -> CASE {arms} ELSE acc END).k"
     )
-    grouped = events.groupBy(
-        F.col(entity_col).alias("entity_id")
-    ).agg(F.expr(evs).alias("evs"))
+    # NULL entities are untrackable (ordered behavior cannot be attributed
+    # to an unknown id) and a grouped NULL would pool every anonymous
+    # event into one trivially-converting pseudo-entity — exclude them,
+    # same contract as funnel_step_times (found by the skew fuzz axis'
+    # NULL-key variant: engine's NULL group read stage 3 while the
+    # oracle's equi-joins dropped it)
+    grouped = (
+        events.where(F.col(entity_col).isNotNull())
+        .groupBy(F.col(entity_col).alias("entity_id"))
+        .agg(F.expr(evs).alias("evs"))
+    )
     return grouped.selectExpr(
         "entity_id", f"{fold} AS stages_reached"
     ).select(*FUNNEL_COLS)
@@ -115,7 +123,8 @@ def _staged_ctes(
     ctes = [
         f"ev AS (SELECT {entity_col} AS u, "
         f"CAST(floor(epoch({ts_col})) AS BIGINT) AS t, "
-        f"{type_col} AS tp FROM {table})"
+        f"{type_col} AS tp FROM {table} "
+        f"WHERE {entity_col} IS NOT NULL)"
     ]
     for k, s in enumerate(steps, start=1):
         if k == 1:

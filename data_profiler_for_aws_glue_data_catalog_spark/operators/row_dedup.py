@@ -109,8 +109,21 @@ def dedup_within_interval(
 
     Output: one row per event with its composite key, dup flag, and the
     gap to the predecessor (NULL for a key's first event).
+
+    NULL key parts render as the printable sentinel '∅' (U+2205) —
+    concat_ws SKIPS nulls, which would conflate (NULL, 'error') with
+    ('error',) and split from the oracle's NULL-propagating '||' (found
+    by the skew fuzz axis' NULL-key variant). A key column whose real
+    value is exactly '∅' would collide; pick key columns outside that
+    domain (ids/enum types here).
     """
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+            for c in key_cols
+        ],
+    )
     w = Window.partitionBy("key").orderBy("_ts", "_id")
     base = df.where(F.col(ts_col).isNotNull()).select(
         key.alias("key"),
@@ -141,8 +154,11 @@ def dedup_within_interval_sql(
     id_col: str,
     max_gap_seconds: int = 600,
 ) -> str:
-    """DuckDB mirror of :func:`dedup_within_interval`."""
-    key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in key_cols)
+    """DuckDB mirror of :func:`dedup_within_interval` (same '∅' NULL
+    sentinel in the composite key)."""
+    key = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '∅')" for c in key_cols
+    )
     return f"""
 WITH base AS (
   SELECT ({key}) AS key, {id_col} AS _id, {ts_col} AS _ts
