@@ -92,6 +92,38 @@ def test_non_hot_rows_untouched(built):
     con.close()
 
 
+def test_dedup_within_null_key_parts_stay_distinct(spark):
+    """concat_ws silently SKIPS null parts, which would conflate
+    (NULL, 'error') with ('error',); the composite key must render NULL
+    parts as the explicit sentinel so NULL-keyed groups stay distinct
+    and group together (skew fuzz NULL-key find, seed 4)."""
+    import datetime as dt
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.row_dedup import dedup_within_interval
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, None, "error"),                          # NULL user
+        (2, t0 + dt.timedelta(seconds=30), None, "error"),  # dup of ^
+        (3, t0 + dt.timedelta(seconds=40), "error", None),  # reversed shape
+        (4, t0 + dt.timedelta(seconds=50), "u1", "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    out = {
+        r["event_id"]: (r["key"], r["is_dup"])
+        for r in dedup_within_interval(
+            df, ["user_id", "event_type"], "ts", "event_id"
+        ).collect()
+    }
+    assert out[1][0] == "∅|error" and out[1][1] is False
+    assert out[2] == ("∅|error", True)        # same NULL-user key: dup
+    assert out[3][0] == "error|∅"             # NOT conflated with ^
+    assert out[3][1] is False
+    assert out[4] == ("u1|error", False)
+
+
 def test_entity_normed_collapses_duplicates(spark):
     """Duplicate-id vector rows collapse to ONE deterministic
     representative (lexicographically smallest (_v, _norm)) — the
