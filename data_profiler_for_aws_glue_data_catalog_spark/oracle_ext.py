@@ -226,20 +226,28 @@ def sessionize_sql(
     gap_us: int = 4 * 3600 * 1_000_000,
 ) -> str:
     """Mirror of operators/sessions.sessionize: gaps-and-islands with the
-    same exact-microsecond gap comparison and (ts, id) ordering."""
+    same exact-microsecond gap comparison and (ts, id) ordering.
+
+    DUPLICATE-ROW DETERMINISM: rn is taken from the SAME named window
+    that computes new_s (one sort), and the outer running sum orders by
+    (ts, event_id, rn) — a TOTAL order. Without rn, fully duplicated
+    rows (the skew axis' hot-key amplification) tie in (ts, event_id),
+    and the two independent window sorts may disagree on tie order,
+    nondeterministically splitting an island across session ids."""
     return f"""
 WITH e AS (
   SELECT {id_col} AS event_id, {user_col} AS user_id, {ts_col} AS ts
   FROM {table} WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL),
 g AS (
   SELECT event_id, user_id, ts,
-    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-      OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
-      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    row_number() OVER w AS rn,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+      OR lag(ts) OVER w IS NULL
     THEN 1 ELSE 0 END AS new_s
-  FROM e)
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id, user_id,
-  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id, rn
        ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
 FROM g
 """
@@ -254,21 +262,28 @@ def session_stats_sql(
 ) -> str:
     """Mirror of operators/sessions.session_stats: sessions from the same
     gaps-and-islands, session_end = last event + gap (Spark session-window
-    semantics), decimal-deterministic value sum."""
+    semantics), decimal-deterministic value sum.
+
+    DUPLICATE-ROW DETERMINISM: same rn discipline as sessionize_sql —
+    new_s and rn come from ONE named window, the running sum orders by
+    (ts, rn), a total order. Found by skew seed 6 (64 identical copies
+    of a hot user's events made the two independent ts-sorts disagree on
+    tie order and split one session 64/63 between runs)."""
     return f"""
 WITH e AS (
   SELECT {user_col} AS user_id, {ts_col} AS ts, {value_col} AS v
   FROM {table} WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL),
 g AS (
   SELECT user_id, ts, v,
-    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-      OVER (PARTITION BY user_id ORDER BY ts) > {gap_us}
-      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    row_number() OVER w AS rn,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+      OR lag(ts) OVER w IS NULL
     THEN 1 ELSE 0 END AS new_s
-  FROM e),
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (
   SELECT user_id, ts, v,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, rn
          ROWS UNBOUNDED PRECEDING) AS sid
   FROM g)
 SELECT user_id,
