@@ -190,6 +190,10 @@ def build_schema_dir(outdir: str, seed: int) -> list[str]:
     allnull = rng.choice([x for x in SCHEMA_ALLNULL if x not in drops])
     adds = rng.sample(sorted(SCHEMA_ADD_PK), k=2)
     single = rng.choice(SCHEMA_SINGLE_ROW) if rng.random() < 0.5 else None
+    # a truncated table probes the opposite degenerate end: 1-row keeps
+    # every metric defined, 0-row (empty) exercises the empty-domain
+    # branches (NULL means, 0 sizes) through the full oracle comparison
+    n_keep = rng.choice((0, 1)) if single else None
 
     manifest = (
         [f"drop {t}.{c}" for t, c in sorted(drops)]
@@ -197,7 +201,11 @@ def build_schema_dir(outdir: str, seed: int) -> list[str]:
         + [f"retype {retype[0]}.{retype[1]} int->bigint"]
         + [f"allnull {allnull[0]}.{allnull[1]}"]
         + [f"add {t}.fz_note, {t}.fz_score" for t in sorted(adds)]
-        + ([f"single-row {single[0]}"] if single else [])
+        + (
+            [f"{'empty' if n_keep == 0 else 'single-row'} {single[0]}"]
+            if single
+            else []
+        )
     )
 
     con = duckdb.connect()
@@ -229,7 +237,7 @@ def build_schema_dir(outdir: str, seed: int) -> list[str]:
             # % then / 8.0: exact binary fractions, render identically
             sel.append(f"CAST({pk} % 97 AS DOUBLE) / 8.0 AS fz_score")
         tail = (
-            f"ORDER BY {single[1]} LIMIT 1"
+            f"ORDER BY {single[1]} LIMIT {n_keep}"
             if single and single[0] == t
             else ""
         )

@@ -117,7 +117,7 @@ def test_build_schema_dir_is_deterministic_and_honest(tmp_path, seed):
         elif kind == "allnull":
             t, c = rest.split(".")
             assert c in schemas[t].names, line
-        elif kind == "single-row":
+        elif kind in ("single-row", "empty"):
             t = rest
             n = pq.read_metadata(os.path.join(d1, f"{t}.parquet")).num_rows
-            assert n == 1, line
+            assert n == (1 if kind == "single-row" else 0), line
