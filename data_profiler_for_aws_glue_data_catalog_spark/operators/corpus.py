@@ -55,11 +55,16 @@ def clean_corpus(
     survivors = t.where(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
     )
-    w = Window.partitionBy("content_md5")
+    # row_number, not id == min(id): the min-keeper keeps EVERY physical
+    # copy of the minimal id, so duplicated rows (re-ingests, the skew
+    # axis' hot-key amplification) would all survive "exact dedup".
+    # One row per surviving content, smallest id — copies beyond the
+    # first are identical, so the pick is value-deterministic.
+    w = Window.partitionBy("content_md5").orderBy("id")
     return (
-        survivors.withColumn("_keep", F.col("id") == F.min("id").over(w))
-        .where(F.col("_keep"))
-        .drop("_keep")
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -483,8 +483,9 @@ s AS (
   JOIN l ON l.{id_col} = h.id
   WHERE q.quality >= {min_quality} AND l.lang_pred IN ({langs_sql}))
 SELECT id, lang_pred, quality, content_md5 FROM (
-  SELECT *, MIN(id) OVER (PARTITION BY content_md5) AS keeper FROM s)
-WHERE id = keeper
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY id)
+    AS _rn FROM s)
+WHERE _rn = 1
 """
 
 
