@@ -124,6 +124,58 @@ def test_dedup_within_null_key_parts_stay_distinct(spark):
     assert out[4] == ("u1|error", False)
 
 
+def test_entity_normed_conflicting_duplicates_mirror_oracle(spark, tmp_path):
+    """Duplicate ids with DIFFERENT vectors (data corruption, not mere
+    replication): both engines must pick the SAME lexicographically
+    smallest (vector, norm) representative — Spark min(struct(array,
+    double)) vs the oracle's row_number ORDER BY v, nrm over DuckDB
+    lists. Differential: same parquet through both paths."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import entity_normed
+    from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import _normed_vectors_sql
+
+    rows = [
+        (0, [0.5, -1.0]), (0, [0.5, -2.0]), (0, [-0.5, 3.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.0, 0.0]), (2, [0.0, 2.0]),   # zero vector dropped FIRST
+        (3, [2.0]), (3, [2.0, -9.0]),       # prefix: shorter sorts first
+    ]
+    p = str(tmp_path / "em.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        p,
+    )
+    df = spark.read.parquet(p)
+    got = {
+        r["id"]: (list(r["_v"]), r["_norm"])
+        for r in entity_normed(df, "embedding", "vec_id").collect()
+    }
+    con = duckdb.connect()
+    sql = _normed_vectors_sql(f"'{p}'", "embedding", "vec_id")
+    want = {
+        r[0]: (list(r[1]), r[2]) for r in con.execute(sql).fetchall()
+    }
+    con.close()
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for i in got:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert abs(got[i][1] - want[i][1]) == 0.0
+    # and the chosen representatives are the expected minima
+    assert got[0][0] == [-0.5, 3.0]
+    assert got[2][0] == [0.0, 2.0]   # zero-norm row filtered pre-dedup
+    assert got[3][0] == [2.0]        # prefix is lexicographically smaller
+
+
 def test_entity_normed_collapses_duplicates(spark):
     """Duplicate-id vector rows collapse to ONE deterministic
     representative (lexicographically smallest (_v, _norm)) — the
