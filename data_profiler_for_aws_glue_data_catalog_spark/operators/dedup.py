@@ -384,13 +384,14 @@ def embedding_near_duplicates(
         collect_centroids,
     )
 
-    e = entity_normed(
-        ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
-    )
     # both self-join sides + the centroid collect share it; _wide keeps
     # the downstream pair-cosine stages cluster-width (AQE coalesces the
-    # small dedup agg to one partition otherwise)
-    e = materialize_wide(e)
+    # small dedup agg to one partition otherwise). No ensure_parallelism:
+    # the dedup's own exchange redistributes (a pre-repartition would
+    # double-shuffle).
+    e = materialize_wide(
+        entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
+    )
     cos = _pair_cosine(
         F.col("a._v"), F.col("a._norm"), F.col("b._v"), F.col("b._norm")
     )

@@ -32,7 +32,6 @@ from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import (
     assign_cells,
     collect_centroids,
 )
-from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import ensure_parallelism
 
 _SUM_DEC = "decimal(27,6)"
 
@@ -111,9 +110,9 @@ def kmeans_step(
     Empty cells vanish from the output (standard Lloyd: a centroid with
     no members has no mean; callers re-seed or drop the cell).
     """
-    e = entity_normed(
-        ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
-    )
+    # no ensure_parallelism: the entity dedup's exchange redistributes
+    # anyway, and the by_dim aggregation re-shuffles after assignment
+    e = entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
     cents = centroids if centroids is not None else collect_centroids(e, n_cells)
     assigned = assign_cells(e, cents)
     by_dim = assigned.select(

@@ -41,8 +41,6 @@ from pyspark.sql import functions as F
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
 from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot
 from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
-    ensure_parallelism,
-    materialize,
     materialize_wide,
 )
 
@@ -60,10 +58,12 @@ def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     set.  MEMORY_AND_DISK — at 100 TB this spills like a shuffle."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import entity_normed
 
+    # no ensure_parallelism here: the dedup's own exchange redistributes
+    # anyway (a pre-repartition would just double-shuffle — measured 2x
+    # the materialization cost), and materialize_wide restores downstream
+    # width when AQE coalesces the small agg output
     return materialize_wide(
-        entity_normed(
-            ensure_parallelism(embs.select(id_col, vec_col)), vec_col, id_col
-        )
+        entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
     )
 
 
