@@ -110,9 +110,16 @@ def kmeans_step(
     Empty cells vanish from the output (standard Lloyd: a centroid with
     no members has no mean; callers re-seed or drop the cell).
     """
-    # no ensure_parallelism: the entity dedup's exchange redistributes
-    # anyway, and the by_dim aggregation re-shuffles after assignment
-    e = entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
+    # materialize_wide (parity with similarity._normed and
+    # embedding_near_duplicates): ``e`` feeds both collect_centroids and
+    # assign_cells, so without it the scan+dedup subtree recomputes per
+    # consumer AND the AQE-coalesced dedup exchange can leave the
+    # CPU-heavy distance stage single-task (round-8 advice)
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import materialize_wide
+
+    e = materialize_wide(
+        entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
+    )
     cents = centroids if centroids is not None else collect_centroids(e, n_cells)
     assigned = assign_cells(e, cents)
     by_dim = assigned.select(

@@ -85,7 +85,7 @@ FROM agg
 """
 
 
-WITHIN_COLS = ["key", "event_id", "ts", "is_dup", "gap_s"]
+WITHIN_COLS = ["key", "key_nulls", "event_id", "ts", "is_dup", "gap_s"]
 
 
 def dedup_within_interval(
@@ -107,15 +107,18 @@ def dedup_within_interval(
     marks B and C both dup (predecessor within tolerance), matching the
     watermark-dedup behavior of a state entry refreshed per arrival.
 
-    Output: one row per event with its composite key, dup flag, and the
-    gap to the predecessor (NULL for a key's first event).
+    Output: one row per event with its composite key, a NULL bitmap for
+    the key parts, dup flag, and the gap to the predecessor (NULL for a
+    key's first event).
 
     NULL key parts render as the printable sentinel '∅' (U+2205) —
     concat_ws SKIPS nulls, which would conflate (NULL, 'error') with
     ('error',) and split from the oracle's NULL-propagating '||' (found
     by the skew fuzz axis' NULL-key variant). A key column whose real
-    value is exactly '∅' would collide; pick key columns outside that
-    domain (ids/enum types here).
+    value is exactly '∅' would still render identically, so the true
+    dedup key is (key, key_nulls): ``key_nulls`` is a '0'/'1' bitmap of
+    which parts were NULL, making the sentinel collision impossible
+    (round-8 advice) while keeping the display string readable.
     """
     key = F.concat_ws(
         "|",
@@ -124,14 +127,22 @@ def dedup_within_interval(
             for c in key_cols
         ],
     )
-    w = Window.partitionBy("key").orderBy("_ts", "_id")
+    nulls = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in key_cols
+        ]
+    )
+    w = Window.partitionBy("key", "key_nulls").orderBy("_ts", "_id")
     base = df.where(F.col(ts_col).isNotNull()).select(
         key.alias("key"),
+        nulls.alias("key_nulls"),
         F.col(id_col).alias("_id"),
         F.col(ts_col).alias("_ts"),
     )
     lagged = base.select(
         "key",
+        "key_nulls",
         "_id",
         "_ts",
         (
@@ -140,6 +151,7 @@ def dedup_within_interval(
     )
     return lagged.select(
         "key",
+        "key_nulls",
         F.col("_id").alias("event_id"),
         F.col("_ts").alias("ts"),
         (F.col("gap_s") <= max_gap_seconds).alias("is_dup"),
@@ -155,23 +167,27 @@ def dedup_within_interval_sql(
     max_gap_seconds: int = 600,
 ) -> str:
     """DuckDB mirror of :func:`dedup_within_interval` (same '∅' NULL
-    sentinel in the composite key)."""
+    sentinel display key + '0'/'1' NULL-bitmap dedup key)."""
     key = " || '|' || ".join(
         f"COALESCE(CAST({c} AS VARCHAR), '∅')" for c in key_cols
     )
+    nulls = " || ".join(
+        f"CASE WHEN {c} IS NULL THEN '1' ELSE '0' END" for c in key_cols
+    )
     return f"""
 WITH base AS (
-  SELECT ({key}) AS key, {id_col} AS _id, {ts_col} AS _ts
+  SELECT ({key}) AS key, ({nulls}) AS key_nulls, {id_col} AS _id, {ts_col} AS _ts
   FROM {table} WHERE {ts_col} IS NOT NULL
 ),
 lagged AS (
-  SELECT key, _id, _ts,
+  SELECT key, key_nulls, _id, _ts,
     CAST(floor(epoch(_ts)) AS BIGINT)
-      - CAST(floor(epoch(LAG(_ts) OVER (PARTITION BY key ORDER BY _ts, _id)))
+      - CAST(floor(epoch(LAG(_ts) OVER (
+            PARTITION BY key, key_nulls ORDER BY _ts, _id)))
              AS BIGINT) AS gap_s
   FROM base
 )
-SELECT key, _id AS event_id, _ts AS ts,
+SELECT key, key_nulls, _id AS event_id, _ts AS ts,
   COALESCE(gap_s <= {max_gap_seconds}, FALSE) AS is_dup, gap_s
 FROM lagged
 """

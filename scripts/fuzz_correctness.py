@@ -357,7 +357,20 @@ def build_skew_dir(outdir: str, seed: int) -> list[str]:
                 f"SELECT {c} FROM '{src}' WHERE {c} IS NOT NULL "
                 f"GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1"
             ).fetchone()[0]
-            hv = f"'{hot}'" if isinstance(hot, str) else repr(hot)
+            # only int/str hot keys render as valid SQL literals (repr of
+            # a date/float would inject datetime.date(...) or lose bits);
+            # quote-escape strings so a value containing ' can't break
+            # the COPY query (round-8 advice)
+            if isinstance(hot, bool) or not isinstance(hot, (int, str)):
+                raise SystemExit(
+                    f"SKEW_HOT column {t}.{c} has unsupported hot-key type "
+                    f"{type(hot).__name__}; extend the literal rendering first"
+                )
+            hv = (
+                "'" + hot.replace("'", "''") + "'"
+                if isinstance(hot, str)
+                else repr(hot)
+            )
             g = con.sql(
                 f"SELECT COUNT(*) FROM '{src}' WHERE {c} = {hv}"
             ).fetchone()[0]

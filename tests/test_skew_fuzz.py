@@ -74,21 +74,40 @@ def test_manifest_amplification_is_real(built):
 
 def test_non_hot_rows_untouched(built):
     """Minus the amplification (and any nullkey mutation), the mutated
-    table is value-identical to the source: DISTINCT rows agree."""
+    table is value-identical to the source — in BOTH directions and at
+    per-row MULTIPLICITY, not just DISTINCT containment (round-8 advice:
+    the one-directional DISTINCT check would miss silently dropped rows
+    or collapsed pre-existing duplicates on non-hot keys)."""
     out, manifest = built
     nulled = {
         m.split()[1].split(".")[0] for m in manifest if m.startswith("nullkey")
     }
+    hot = {}  # table -> (key column, hot value literal)
+    for m in manifest:
+        mm = MANIFEST_RE.fullmatch(m)
+        if mm:
+            t, c, v = mm.group(1), mm.group(2), mm.group(3)
+            hot[t] = (c, v if re.fullmatch(r"-?\d+", v) else f"'{v}'")
     con = duckdb.connect()
     for t in TABLES:
         if t in nulled:
             continue
-        n = con.sql(
-            f"SELECT COUNT(*) FROM ("
-            f"SELECT DISTINCT * FROM '{out}/{t}.parquet' "
-            f"EXCEPT SELECT DISTINCT * FROM '{FZ.SRC}/{t}.parquet')"
-        ).fetchone()[0]
-        assert n == 0, f"{t}: {n} mutated distinct rows not in source"
+        # exclude only the hot group (its multiplicity IS the mutation);
+        # everything else must agree as a MULTISET in both directions.
+        # EXCEPT ALL keeps duplicate multiplicity and treats NULL cells
+        # as equal, so dropped rows AND collapsed duplicates both fail.
+        c, hv = hot.get(t, (None, None))
+        where = f"WHERE {c} IS DISTINCT FROM {hv}" if c else ""
+        for a, b, what in (
+            (out, FZ.SRC, "mutated rows not in source"),
+            (FZ.SRC, out, "source rows missing from mutated"),
+        ):
+            n = con.sql(
+                f"SELECT COUNT(*) FROM ("
+                f"SELECT * FROM '{a}/{t}.parquet' {where} "
+                f"EXCEPT ALL SELECT * FROM '{b}/{t}.parquet' {where})"
+            ).fetchone()[0]
+            assert n == 0, f"{t}: {n} {what}"
     con.close()
 
 
@@ -107,21 +126,25 @@ def test_dedup_within_null_key_parts_stay_distinct(spark):
         (2, t0 + dt.timedelta(seconds=30), None, "error"),  # dup of ^
         (3, t0 + dt.timedelta(seconds=40), "error", None),  # reversed shape
         (4, t0 + dt.timedelta(seconds=50), "u1", "error"),
+        # a REAL '∅' value renders the same display key as NULL but must
+        # stay a distinct group: key_nulls disambiguates (round-8 advice)
+        (5, t0 + dt.timedelta(seconds=55), "∅", "error"),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id string, event_type string"
     )
     out = {
-        r["event_id"]: (r["key"], r["is_dup"])
+        r["event_id"]: (r["key"], r["key_nulls"], r["is_dup"])
         for r in dedup_within_interval(
             df, ["user_id", "event_type"], "ts", "event_id"
         ).collect()
     }
-    assert out[1][0] == "∅|error" and out[1][1] is False
-    assert out[2] == ("∅|error", True)        # same NULL-user key: dup
-    assert out[3][0] == "error|∅"             # NOT conflated with ^
-    assert out[3][1] is False
-    assert out[4] == ("u1|error", False)
+    assert out[1] == ("∅|error", "10", False)
+    assert out[2] == ("∅|error", "10", True)  # same NULL-user key: dup
+    assert out[3] == ("error|∅", "01", False)  # NOT conflated with ^
+    assert out[4] == ("u1|error", "00", False)
+    # same display key as 1/2, different bitmap -> NOT a dup of them
+    assert out[5] == ("∅|error", "00", False)
 
 
 def test_entity_normed_conflicting_duplicates_mirror_oracle(spark, tmp_path):
