@@ -77,12 +77,14 @@ def _profile_database_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch metrics (HLL++ distinct, GK/KLL quantiles) — rows-only check."""
-    m = scan_metrics_long(_t(spark, sf_dir, "lineitem"), ProfilerConfig())
-    return m.where(
-        F.col("name").startswith("ApproxQuantiles")
-        | (F.col("name") == "ApproxCountDistinct")
-    )
+    """Sketch metrics (HLL++ distinct, GK/KLL quantiles) as a BOUNDS
+    VERDICT: each sketch is compared in-job against its exact reference
+    and must sit inside its published error envelope; the oracle pins the
+    metric inventory and asserts every verdict TRUE (r8: upgraded from
+    the rows-only contract so the driver artifact hash-gates this too)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.approx_bounds import approx_bounds_verdict
+
+    return approx_bounds_verdict(_t(spark, sf_dir, "lineitem"), ProfilerConfig())
 
 
 def _dataset_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1778,7 +1780,10 @@ def _completeness_slices_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("instance").alias("column"),
         F.col("value").alias("global_completeness"),
     )
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     return seg.join(F.broadcast(glob), "column").selectExpr(
         "segment",
         "`column`",
@@ -1956,11 +1961,14 @@ def _missing_days_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _file_balance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Execution-layout diagnostic — rows-only check (file identity is
-    invisible to the DuckDB oracle by design)."""
-    from data_profiler_for_aws_glue_data_catalog_spark.operators.file_balance import file_balance
+    """Execution-layout diagnostic, reduced to its oracle-checkable
+    projection: n_rows conservation (hash-compared against COUNT(*)) +
+    the summary's internal-consistency verdict (r8: upgraded from the
+    rows-only contract; raw per-file stats stay available via
+    operators.file_balance.file_balance)."""
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.file_balance import file_balance_verdict
 
-    return file_balance(_t(spark, sf_dir, "lineitem"))
+    return file_balance_verdict(_t(spark, sf_dir, "lineitem"))
 
 
 MIX_QUOTAS = {"en": 40, "de": 15, "fr": 10}
@@ -3128,11 +3136,16 @@ FROM (
 #   machinery, one rep each for LSH/ANN/iterative clustering) plus the
 #   33 LEAST-RECENTLY-GATED queries, so the oldest driver-green rows are
 #   refreshed each round and gate recency stays bounded.  For r07 that
-#   is the full 25-query r02 cohort (their green rows predate four
-#   rounds of engine evolution: decimal policy, output casts, the
-#   percentile-edge mirror, planning-free parallelism) plus 8
-#   family-diverse picks from the r03 cohort (exact/ngram dedup, KNN
-#   join, sessionization, funnels, TPC-H Q1, TF-IDF, stream enrichment).
+#   was the full 25-query r02 cohort plus 8 family-diverse picks from
+#   the r03 cohort (all 50 came back green, CORRECTNESS_r07.json).
+#   r08: the 33 least-recently-gated are exactly the REMAINDER of the
+#   r03 cohort (last driver-hashed in CORRECTNESS_r03, five rounds of
+#   engine evolution ago): the 14 TPC-H relational queries, the temporal
+#   family (as-of/interval joins, sessions, funnels, retention,
+#   attribution), pagerank, SCD2, BM25, salted/bucketed joins, the
+#   remaining dedup variants (simhash, embedding, incremental LSH,
+#   cluster resolve) and brute-force ANN. After r08 every registered
+#   query's latest driver-green row is r04 or newer; max gate age <= 4.
 _GATE_PRIORITY = [
     # --- permanent sentinels ---
     "woe_lang_documents", "auc_documents", "dedup_eval_lsh",
@@ -3142,20 +3155,20 @@ _GATE_PRIORITY = [
     "profile_lineitem_observed", "spearman_lineitem",
     "winsorized_stats_lineitem", "equidepth_histogram_lineitem",
     "dedup_minhash_lsh", "ann_ivf_topk", "kmeans_train",
-    # --- r02 cohort: last driver-hashed in CORRECTNESS_r02 ---
-    "ann_lsh_topk", "compliance_events_windowed", "dataset_sizes",
-    "dedup_embedding_exact", "distinct_metric_names",
-    "ivf_inertia_embeddings", "kmeans_step", "metrics_typed_join",
-    "multimodal_binary_dedup", "multimodal_decode_features",
-    "profile_catalog_scan", "profile_customer", "profile_documents",
-    "profile_embeddings", "profile_events", "profile_events_windowed",
-    "profile_nation", "profile_orders", "profile_part", "profile_region",
-    "profile_supplier", "text_fingerprints", "text_language_id",
-    "text_stats", "truncation_recall_embeddings",
-    # --- r03 cohort picks (family-diverse) ---
-    "dedup_exact", "dedup_ngram_jaccard", "knn_join_embeddings",
-    "sessionize_events", "funnel_events", "q1_pricing_summary",
-    "tfidf_documents", "stream_enriched_counts",
+    # --- r03 cohort remainder: last driver-hashed in CORRECTNESS_r03 ---
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q18_large_orders", "q19_disjunctive_revenue",
+    "q21_suppliers_who_kept_waiting", "q22_global_sales_opportunity",
+    "revenue_by_nation", "pagerank_event_graph", "asof_click_view",
+    "interval_join_sessions", "scd2_customer", "session_stats_events",
+    "funnel_summary_events", "funnel_times_events",
+    "cohort_retention_events", "attribution_events",
+    "stream_occurrence_index", "bm25_topk_documents",
+    "salted_join_lineitem", "bucketed_join_orders", "dedup_simhash",
+    "dedup_embedding", "dedup_incremental_lsh", "dedup_resolve_clusters",
+    "ann_cosine_topk",
 ]
 
 
@@ -3327,7 +3340,12 @@ def oracle_sql() -> dict[str, str]:
     for t in TPCH_TABLES:
         o[f"profile_{t}"] = O.profile_table_sql(t, expensive=True)
     o["profile_database_scan"] = O.profile_database_sql(expensive=False)
-    # profile_lineitem_approx: sketches -> rows-only (no oracle), by design.
+    # sketch bounds-verdict: inventory + all-TRUE contract (the sketch/
+    # exact comparison runs inside the Spark job; see operators/approx_bounds.py)
+    o["profile_lineitem_approx"] = O.approx_bounds_sql("lineitem")
+    o["file_balance_lineitem"] = (
+        "SELECT COUNT(*) AS n_rows, TRUE AS layout_consistent FROM lineitem"
+    )
     o["dataset_sizes"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS DOUBLE) AS size FROM {t}"
         for t in TPCH_TABLES

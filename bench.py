@@ -8,15 +8,18 @@ Each query is timed as a full action (collect of a small result); the first
 is preceded by an untimed warmup touch of every input file so JVM/session
 startup and OS page cache don't pollute query timings.
 
-The suite runs TWICE and the per-query minimum is reported: at sf0.1 these
-queries are seconds-scale, where host/scheduler noise on a shared machine
-dominates (the same query measured 2.4-34 s across runs with identical
-plans on an otherwise idle VM). The min of two runs estimates intrinsic
-plan cost; both passes clear the Spark cache first, so no run benefits
-from a warm cache the other lacks. Queries whose two measurements disagree
-by more than 2x get ONE tie-breaker pass — that's the signature of a host
-stall hitting one pass, and a third sample bounds the chance of recording
-a stall as the minimum.
+Protocol (r8): the suite runs THREE times and the per-query MEDIAN is
+reported, for BOTH wall time and process-tree CPU time (utime+stime of
+the python driver, the Spark JVM and every worker, read from /proc
+around each query). Rationale: r7's min-of-2 wall protocol still showed
+an 18% same-code swing across identical-engine runs — host/scheduler
+noise on a shared VM inflates WALL time but barely moves CPU time, so
+the CPU column is the quiet metric for round-over-round regression
+gating (round_over_round compares CPU when the prior round recorded it;
+the r7->r8 wall ratios also carry a one-time min->median protocol shift
+of ~+10-20% that is NOT a regression). A query whose three wall samples
+spread beyond 3x gets one extra sample (a host stall can hit two of
+three passes; the 4-sample median bounds it).
 """
 
 from __future__ import annotations
@@ -280,6 +283,41 @@ def headline_names(qs) -> list[str]:
     return names
 
 
+def tree_cpu_seconds() -> float:
+    """utime+stime (plus reaped-children cutime/cstime) of this process
+    and every live descendant — the Python driver, the Spark JVM, and
+    any pyspark worker daemons. Pure /proc arithmetic, no dependencies.
+    Deltas of this around a query give its process-CPU cost, which host
+    scheduler stalls do not inflate (unlike wall time)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    children: dict[int, list[int]] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat", "rb") as f:
+                data = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced with process exit
+        # comm may contain spaces/parens: fields restart after last ')'
+        fields = data[data.rindex(")") + 2:].split()
+        ppid = int(fields[1])
+        own = int(fields[11]) + int(fields[12])       # utime + stime
+        reaped = int(fields[13]) + int(fields[14])    # cutime + cstime
+        pid = int(pid_s)
+        procs[pid] = (own, reaped)
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            own, reaped = procs[p]
+            total += own + reaped
+            stack.extend(children.get(p, []))
+    return total / tick
+
+
 def round_over_round(timings: dict, prev_queries: dict) -> dict:
     """Mechanical cross-round comparison over the common query set: per-
     query timing ratios (this/prev), distribution summary, and every
@@ -353,39 +391,52 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR).values():
         df.count()
 
-    def run_one(name: str) -> float:
+    def run_one(name: str) -> tuple[float, float]:
         # queries are independent workloads: drop cached relations the
         # previous operator materialized so timings don't include
         # cross-query cache eviction/GC pressure
         spark.catalog.clearCache()
+        c0 = tree_cpu_seconds()
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         df.count() if df.columns else 0
-        return round(time.perf_counter() - t0, 3)
+        wall = time.perf_counter() - t0
+        return round(wall, 3), round(tree_cpu_seconds() - c0, 3)
 
-    samples: dict[str, list[float]] = {}
-    for _rep in range(2):
+    def median(vals: list[float]) -> float:
+        v = sorted(vals)
+        mid = len(v) // 2
+        return round(v[mid] if len(v) % 2 else (v[mid - 1] + v[mid]) / 2, 3)
+
+    samples: dict[str, list[tuple[float, float]]] = {}
+    for _rep in range(3):
         for name in names:
             if name in qs:
                 samples.setdefault(name, []).append(run_one(name))
     for name, s in samples.items():
-        if max(s) > 2 * min(s):  # one pass likely hit a host stall
+        walls = [w for w, _ in s]
+        if max(walls) > 3 * min(walls):  # stall may have hit 2 of 3 passes
             s.append(run_one(name))
-    # The headline total is dominated by the slowest queries, and a
-    # correlated host-slow window (the documented ~3x band) can inflate
-    # BOTH sweeps of one query with an unchanged plan — low spread, so
-    # neither min-of-2 nor the stall tie-breaker recovers it. Give the
-    # top contributors one more, later, sample each.
-    for name in sorted(samples, key=lambda n: min(samples[n]), reverse=True)[:10]:
-        samples[name].append(run_one(name))
-    timings = {name: min(s) for name, s in samples.items()}
-    # Per-query spread (max/min over the samples that produced the min):
-    # on this shared host a ratio up to ~3x with identical plans is
-    # documented scheduler noise; cross-round comparisons should treat a
-    # min-timing drift inside that band as noise, not regression.
-    spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
-    spread_vals = sorted(spread.values())
-    median_spread = spread_vals[len(spread_vals) // 2] if spread_vals else 0.0
+    timings = {n: median([w for w, _ in s]) for n, s in samples.items()}
+    cpu = {n: median([c for _, c in s]) for n, s in samples.items()}
+    # Per-query wall spread (max/min across samples) — documented ~3x
+    # scheduler-noise band on this host; the CPU column's spread is the
+    # quiet counterpart the round gate relies on.
+    spread = {
+        n: round(max(w for w, _ in s) / max(min(w for w, _ in s), 1e-9), 2)
+        for n, s in samples.items()
+    }
+    cpu_spread = {
+        n: round(max(c for _, c in s) / max(min(c for _, c in s), 1e-9), 2)
+        for n, s in samples.items()
+    }
+
+    def _median_of(d: dict) -> float:
+        v = sorted(d.values())
+        return v[len(v) // 2] if v else 0.0
+
+    median_spread = _median_of(spread)
+    cpu_median_spread = _median_of(cpu_spread)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -416,22 +467,35 @@ def main() -> None:
         prev_round, prev_path = prev[-1]
         with open(prev_path) as f:
             prev_doc = json.load(f)
-        rr = round_over_round(timings, prev_doc.get("queries", {}))
+        # gate on the quiet metric: process-CPU ratios once the prior
+        # round recorded them; wall otherwise (first round after the r8
+        # protocol switch also carries a one-time min->median shift)
+        if prev_doc.get("cpu_queries"):
+            rr = round_over_round(cpu, prev_doc["cpu_queries"])
+            rr["compared_metric"] = "cpu"
+        else:
+            rr = round_over_round(timings, prev_doc.get("queries", {}))
+            rr["compared_metric"] = "wall (prev round has no cpu column; "
+            "ratios also carry the one-time min->median protocol shift)"
         rr["prev_round"] = prev_round
         rr["prev_detail"] = os.path.basename(prev_path)
     protocol = {
-        "samples_per_query": "min of 2; +1 tie-breaker pass when max > "
-        "2*min; +1 late pass for the 10 slowest (correlated-stall guard)",
-        "expected_noise_band": "per-query spread up to ~3x on this host; "
-        "treat min-timing drift within it as noise",
+        "samples_per_query": "median of 3 (wall AND process-tree CPU); "
+        "+1 sample when wall spread > 3x (stall guard)",
+        "expected_noise_band": "wall spread up to ~3x on this host; CPU "
+        "is the quiet metric — round_over_round gates on it",
     }
     full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "cpu_queries": cpu,
+        "cpu_total": round(sum(cpu.values()), 3),
         "spread": spread,
         "median_spread": median_spread,
+        "cpu_spread": cpu_spread,
+        "cpu_median_spread": cpu_median_spread,
         "protocol": protocol,
         "excluded": EXCLUDED,
         "sf": sf_val,
@@ -470,6 +534,8 @@ def main() -> None:
                 "n_excluded": len(EXCLUDED),
                 "excluded": sorted(EXCLUDED),
                 "median_spread": median_spread,
+                "cpu_total": round(sum(cpu.values()), 3),
+                "cpu_median_spread": cpu_median_spread,
                 "protocol": protocol,
                 "sf": sf_val,
                 "round": cur_round,
@@ -477,8 +543,9 @@ def main() -> None:
                 # archived detail file): median ~= 1.0 is "within noise"
                 "round_over_round": (
                     {k: rr[k] for k in (
-                        "prev_round", "total_ratio", "median_ratio",
-                        "p10_ratio", "p90_ratio", "movers_outside_2x",
+                        "prev_round", "compared_metric", "total_ratio",
+                        "median_ratio", "p10_ratio", "p90_ratio",
+                        "movers_outside_2x",
                     )} if rr else None
                 ),
                 "detail_file": f"BENCH_DETAIL_r{cur_round:02d}.json",

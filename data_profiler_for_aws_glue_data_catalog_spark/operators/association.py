@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 CRAMERS_COLS = ["col_a", "col_b", "n_rows", "r", "c", "chi2", "cramers_v"]
 

@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 BLANK_COLS = [
     "column", "n_rows", "n_null", "n_blank", "n_padded",

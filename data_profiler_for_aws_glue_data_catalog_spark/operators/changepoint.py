@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(27,6)"
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 SHIFT_COLS = ["key", "n", "mean", "max_abs_cusum", "shift_at", "shift_pos"]
 

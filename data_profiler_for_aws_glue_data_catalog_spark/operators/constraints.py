@@ -44,7 +44,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 # Exact-decimal deterministic aggregates — keep in sync with
 # operators/scan_metrics.py (Spark side) and oracle.py (DuckDB side).

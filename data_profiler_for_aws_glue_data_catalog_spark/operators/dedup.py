@@ -430,7 +430,10 @@ def dedup_summary(
     One shuffle: groupBy(content hash) sizes, then a tiny fused
     aggregate — no window, no join, screen-sized output at any scale.
     """
-    ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
     h = X.md5_hex(X.normalized(F.col(text_col)))
     groups = docs.select(h.alias("content_md5")).groupBy("content_md5").agg(
         F.count(F.lit(1)).alias("sz")

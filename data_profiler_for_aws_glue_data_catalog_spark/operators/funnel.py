@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_str
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 _MIN_LONG = "-9223372036854775807"
 
@@ -246,7 +249,10 @@ def funnel_step_times(
             )
         ).alias("_i", "gap")
     ).select((F.col("_i") + 2).alias("step"), "gap")
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     out = gaps.groupBy("step").agg(
         F.count(F.lit(1)).alias("n_entities"),
         F.expr("percentile(gap, 0.5D)").alias("median_gap_s"),
@@ -281,7 +287,10 @@ def funnel_step_times_sql(
         f"FROM m{k} JOIN m{k - 1} ON m{k}.u = m{k - 1}.u"
         for k in range(2, len(steps) + 1)
     )
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     mean = r6.format(
         x="CAST(SUM(CAST(gap AS DECIMAL(27,6))) AS DOUBLE) / COUNT(gap)"
     )

@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_ident
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 EPS = 1e-6
 

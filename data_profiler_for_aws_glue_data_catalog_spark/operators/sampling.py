@@ -246,7 +246,10 @@ def aqp_mean_estimate(
     s = deterministic_sample(df, rate, id_col, seed).where(
         F.col(value_col).isNotNull()
     )
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     agg = s.agg(
         F.count(F.lit(1)).alias("n_sample"),
         F.expr(
@@ -280,7 +283,10 @@ def aqp_mean_estimate_sql(
     """DuckDB mirror of :func:`aqp_mean_estimate` (same hash sample)."""
     from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import sample_sql
 
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     mean = "(_s / n_sample)"
     var = f"greatest(_s2 / n_sample - {mean} * {mean}, 0.0)"
     half = f"(1.96 * sqrt({var}) / sqrt(CAST(n_sample AS DOUBLE)))"

@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 SEGMENT_DEV_COLS = [
     "segment", "n", "seg_mean", "overall_mean", "abs_diff", "rel_diff",
@@ -100,7 +103,10 @@ def pareto_analysis(
     ``in_top80`` includes the boundary key that crosses 0.8 (ceiling
     semantics: the minimal covering prefix).
     """
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     sums = (
         df.where(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(key_col).cast("string").alias("key"))
@@ -145,7 +151,10 @@ def pareto_analysis(
 
 def pareto_analysis_sql(table: str, key_col: str, value_col: str) -> str:
     """DuckDB mirror of :func:`pareto_analysis`."""
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     return f"""
 WITH sums AS (
   SELECT CAST({key_col} AS VARCHAR) AS key,

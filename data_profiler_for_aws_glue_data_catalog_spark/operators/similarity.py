@@ -406,7 +406,10 @@ def truncation_recall(
         id_col,
     ).select("query_id", "neighbor_id")
     hit = full.join(trunc, ["query_id", "neighbor_id"], "leftsemi")
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     per_q = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
     ov = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
     return (
@@ -448,7 +451,10 @@ def ivf_inertia(
         "cell",
         _cos(F.col("_v"), F.col("_norm"), pick["cv"], pick["cn"]).alias("cos"),
     )
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     return (
         scored.groupBy("cell")
         .agg(

@@ -204,7 +204,10 @@ def lang_confusion(
 
     tot = _W.partitionBy("label")
     frac = "cast(n AS double) / cast(n_label AS double)"
-    ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
     return (
         pairs.withColumn("n_label", F.sum("n").over(tot))
         .selectExpr(

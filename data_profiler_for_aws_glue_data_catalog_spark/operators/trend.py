@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ROUND6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
+    "CASE WHEN abs({x}) < 9.0e12 "
+    "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+)
 
 TREND_COLS = ["entity", "n_points", "slope_per_day", "intercept"]
 
@@ -166,7 +169,10 @@ def period_over_period(
         ).alias("vsum"),
     )
     w = Window.partitionBy("key").orderBy("_wk")
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     return (
         buck.withColumn("prev_vsum", F.lag("vsum").over(w))
         .selectExpr(
@@ -190,7 +196,10 @@ def period_over_period_sql(
     bucket_seconds: int = 7 * 86400,
 ) -> str:
     """DuckDB mirror of :func:`period_over_period`."""
-    r6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
+        "CASE WHEN abs({x}) < 9.0e12 "
+        "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
     return f"""
 WITH base AS (
   SELECT CAST({key_col} AS VARCHAR) AS key,

@@ -104,8 +104,10 @@ _SQ_DEC = "DECIMAL(19,6)"
 
 def sq_operand_sql(c: str) -> str:
     """DuckDB square operand matching Spark's try_cast(c AS decimal(18,6)):
-    same NULL envelope, widened for the int128 multiply kernel."""
-    return f"CAST(TRY_CAST({c} AS DECIMAL(18,6)) AS {_SQ_DEC})"
+    same NULL envelope, widened for the int128 multiply kernel. NaN is
+    stripped first (see _nan_null: DuckDB TRY_CAST(NaN AS DECIMAL)
+    hard-errors)."""
+    return f"CAST(TRY_CAST({_nan_null(c)} AS DECIMAL(18,6)) AS {_SQ_DEC})"
 
 
 def spark_percentile_edges_select(src: str, col: str, probs: list[float]) -> str:
@@ -182,11 +184,23 @@ _SQ_GUARD = "1e12"
 _DEC_FLOOR = "1e-3"
 
 
+def _nan_null(c: str) -> str:
+    # DuckDB TRY_CAST(NaN AS DECIMAL) hard-errors instead of returning
+    # NULL (unlike Spark's try_cast, and unlike DuckDB's own Inf
+    # handling), so NaN is stripped to NULL before every decimal cast.
+    # Semantics unchanged: the domain guard routes any NaN-containing
+    # column to the IEEE fallback branch anyway (max(abs) = NaN fails the
+    # `< limit` test in both engines); the strip only keeps the unused
+    # decimal branch evaluable. isnan() is False for every non-float
+    # numeric, so this is type-agnostic. (r8 float-specials axis find.)
+    return f"CASE WHEN isnan({c}) THEN NULL ELSE {c} END"
+
+
 def _sum_dec_raw(c: str) -> str:
     # TRY_CAST: Spark's twin is try_cast — both branches of the guard CASE
     # are computed as aggregates, so the decimal branch must not hard-error
     # on out-of-domain values in either engine.
-    return f"CAST(SUM(TRY_CAST({c} AS {_SUM_DEC})) AS DOUBLE)"
+    return f"CAST(SUM(TRY_CAST({_nan_null(c)} AS {_SUM_DEC})) AS DOUBLE)"
 
 
 def _guarded(c: str, limit: str, dec_branch: str, fallback: str) -> str:
@@ -226,7 +240,17 @@ def _stddev_sql(c: str) -> str:
         f"CASE WHEN COUNT({c}) > 0 THEN "
         f"SQRT(GREATEST(({sx2} - ({sx} * {sx}) / {n}) / {n}, 0.0)) END"
     )
-    return f"ROUND({_guarded(c, _SQ_GUARD, dec, f'STDDEV_POP(CAST({c} AS DOUBLE))')}, 6)"
+    # Fallback parity on float specials: Spark stddev_pop yields NaN when
+    # any NaN/±Inf is present, DuckDB STDDEV_POP raises Out of Range —
+    # detect specials from the same MAX aggregates and emit NaN directly
+    # (finite out-of-domain values keep the STDDEV_POP fallback).
+    fb = (
+        f"CASE WHEN isnan(MAX(CAST({c} AS DOUBLE))) "
+        f"OR MAX(ABS(CAST({c} AS DOUBLE))) = CAST('Infinity' AS DOUBLE) "
+        f"THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE STDDEV_POP(CAST({c} AS DOUBLE)) END"
+    )
+    return f"ROUND({_guarded(c, _SQ_GUARD, dec, fb)}, 6)"
 
 
 def scan_metric_rows(
@@ -341,6 +365,29 @@ def observed_profile_sql(table: str) -> str:
     for c, kind, typ in TABLE_COLUMNS[table]:
         parts += scan_metric_rows(table, c, kind, typ, include_distinctness=False)
     return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def approx_bounds_sql(table: str, n_quantiles: int = 10) -> str:
+    """Oracle for operators.approx_bounds.approx_bounds_verdict: the
+    sketch-vs-exact comparison happens INSIDE the Spark job (sketch
+    estimates are engine-specific, so DuckDB cannot reproduce them); the
+    oracle pins the metric INVENTORY — one row per sketch metric of the
+    profiled surface, tracking schema mutation via TABLE_COLUMNS exactly
+    like the hashed profiles — and the contract that every verdict is
+    TRUE."""
+    rows = []
+    for c, kind, _typ in TABLE_COLUMNS[table]:
+        rows.append(
+            f"SELECT 'Column' AS entity, '{c}' AS instance, "
+            f"'ApproxCountDistinct' AS name, TRUE AS within_bounds"
+        )
+        if kind == NUM:
+            for i in range(1, n_quantiles + 1):
+                p = i / n_quantiles
+                rows.append(
+                    f"SELECT 'Column', '{c}', 'ApproxQuantiles-{p!r}', TRUE"
+                )
+    return "\nUNION ALL\n".join(rows)
 
 
 def profile_database_sql(expensive: bool = False, n_bins: int = 10) -> str:

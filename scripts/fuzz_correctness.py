@@ -29,6 +29,7 @@ Usage:
   python scripts/fuzz_correctness.py --seed 1 --layout --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --sparkconf --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --skew --record FUZZ.json
+  python scripts/fuzz_correctness.py --seed 1 --specials --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --schema --layout ...  # combined
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
@@ -392,6 +393,134 @@ def build_skew_dir(outdir: str, seed: int) -> list[str]:
     return manifest
 
 
+# ------------------------------------------------------------- specials axis
+
+# The float-specials axis injects NaN, +Inf, -Inf, -0.0 (and plain 0.0,
+# so the -0.0/0.0 distinctness question is actually posed) into DOUBLE
+# measure columns and FLOAT[] embedding elements — the one value domain
+# no other axis touches. Spark and DuckDB have well-known divergences
+# here (NaN ordering/equality, -0.0 grouping and rendering, floor()
+# returning BIGINT vs DOUBLE, decimal-cast behavior on specials); the
+# r8 probe of exactly these semantics drove three engine/oracle fixes
+# before the axis ever ran (guarded ROUND6, oracle NaN-strip before
+# decimal casts, STDDEV_POP specials fallback).
+#
+# Scope: like the schema axis, this replays a QUERY SUBSET — the
+# families that read the injected columns. The TPC-H price formulas
+# (l_extendedprice, l_discount) are deliberately NOT injected: their
+# decimal-exact mirrors define behavior on the finite TPC-H domain by
+# contract (plain CAST AS DECIMAL raises on specials in BOTH engines —
+# divergence class `dec_domain`, documented in SURVEY §5).
+
+SPECIALS_TARGETS = [  # (table, double column) injection candidates
+    ("customer", "c_acctbal"),
+    ("supplier", "s_acctbal"),
+    ("events", "value"),
+]
+SPECIALS = ["'NaN'::DOUBLE", "'Infinity'::DOUBLE", "'-Infinity'::DOUBLE",
+            "-0.0::DOUBLE", "0.0::DOUBLE"]
+
+# Queries replayed under specials injection: every registered query that
+# reads c_acctbal / s_acctbal / events.value or the embedding vectors,
+# plus the full profile surface (whose decimal paths are domain-guarded
+# by design and must fall back, not crash).
+SPECIALS_QUERIES = [
+    # profile family over the injected tables (guarded decimal paths)
+    "profile_customer", "profile_supplier", "profile_events",
+    "profile_embeddings", "profile_database_scan", "profile_catalog_scan",
+    "dataset_sizes", "db_health_summary", "profile_lineitem_approx",
+    "profile_events_windowed", "profile_customer_by_segment",
+    "rollup_profile_customer", "cube_profile_customer",
+    "suggest_constraints_customer", "publish_metrics_parquet",
+    "catalog_params_sink",
+    # events.value consumers
+    "zscore_events", "rolling_stats_events", "impute_events",
+    "changepoint_events", "trend_slopes_events", "ohlc_events",
+    "hourly_value_bands_events", "jsd_events_halves", "ks_events_halves",
+    "w1_events_halves", "ab_compare_events", "wow_change_events",
+    "drift_gate_events", "compact_events", "json_profile_events",
+    "temporal_profile_events", "completeness_slices_events",
+    "null_patterns_events", "rank_normalize_events",
+    # c_acctbal / s_acctbal consumers
+    "mask_customer", "k_anonymity_customer", "scd2_customer",
+    "pareto_customers", "align_union_orders",
+    # embedding consumers (vectors get specials too)
+    "vector_dim_stats", "vector_norm_stats", "project_embeddings",
+    "quantize_embeddings", "embedding_drift_halves",
+    "pool_embeddings_by_label", "truncation_recall_embeddings",
+]
+
+
+def build_specials_dir(outdir: str, seed: int) -> list[str]:
+    """Build a specials-injected copy of SRC at ``outdir``; returns the
+    mutation manifest (recorded in FUZZ.json). Injection sites are
+    value-hash-seeded (reproducible, no engine RNG): ~1% of rows per
+    special per chosen column."""
+    import random
+
+    rng = random.Random(seed)
+    targets = rng.sample(SPECIALS_TARGETS, k=rng.randint(2, len(SPECIALS_TARGETS)))
+    specials = rng.sample(SPECIALS, k=rng.randint(3, len(SPECIALS)))
+    emb_special = rng.choice(SPECIALS)
+
+    con = duckdb.connect()
+    pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    by_table = {}
+    for t, c in targets:
+        by_table.setdefault(t, []).append(c)
+    manifest: list[str] = []
+    for t in tables:
+        src = f"{SRC}/{t}.parquet"
+        cols = [
+            r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        ]
+        sel = []
+        for c in cols:
+            expr = c
+            if c in by_table.get(t, []):
+                # hash-seeded slot in [0, 100): one slot per special
+                slot = f"hash({', '.join(cols)}, {seed}) % 100"
+                arms = " ".join(
+                    f"WHEN {slot} = {i} THEN {sp}"
+                    for i, sp in enumerate(specials)
+                )
+                expr = f"CASE {arms} ELSE {c} END"
+                manifest.append(
+                    f"specials {t}.{c}: {len(specials)}% rows -> "
+                    + ", ".join(specials)
+                )
+            if t == "embeddings" and c == "embedding":
+                # ~1% of vectors get ONE special element (hash-picked dim)
+                expr = (
+                    f"CASE WHEN hash(vec_id, {seed}) % 100 = 0 THEN "
+                    f"list_transform(range(1, len(embedding) + 1), "
+                    f"i -> CASE WHEN i = 1 + hash(vec_id, {seed + 1}) "
+                    f"% len(embedding) THEN CAST({emb_special} AS FLOAT) "
+                    f"ELSE embedding[i] END) "
+                    f"ELSE embedding END"
+                )
+                manifest.append(f"specials embeddings.embedding: 1% vectors, one element -> {emb_special}")
+            sel.append(f"({expr}) AS {c}")
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{src}') "
+            f"TO '{outdir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        a = con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        b = con.sql(f"DESCRIBE SELECT * FROM '{outdir}/{t}.parquet'").fetchall()
+        if [(x[0], x[1]) for x in a] != [(x[0], x[1]) for x in b]:
+            raise SystemExit(f"schema drift in specials {t}: {a} vs {b}")
+        n = con.sql(f"SELECT COUNT(*) FROM '{outdir}/{t}.parquet'").fetchone()[0]
+        print(f"built {t}: {n} rows")
+    con.close()
+    for m in manifest:
+        print(f"mutation: {m}")
+    return manifest
+
+
 # --------------------------------------------------------------- layout axis
 
 # The layout axis rewrites every table with IDENTICAL values but a seeded
@@ -597,19 +726,27 @@ def main() -> int:
     ap.add_argument("--skew", action="store_true",
                     help="skew axis (seeded hot-key amplification + "
                          "NULL-key groups; full surface)")
+    ap.add_argument("--specials", action="store_true",
+                    help="float-specials axis (seeded NaN/±Inf/-0.0 "
+                         "injection into double measures + embeddings; "
+                         "replays SPECIALS_QUERIES)")
     ap.add_argument("--record", default=None,
                     help="append a JSON seed-matrix row to this file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
-    if args.sparkconf and (args.schema or args.layout or args.skew):
+    if args.sparkconf and (args.schema or args.layout or args.skew
+                           or args.specials):
         ap.error("--sparkconf cannot combine with data-mutation axes")
-    if args.skew and (args.schema or args.layout):
+    if args.skew and (args.schema or args.layout or args.specials):
         ap.error("--skew is a standalone data axis")
+    if args.specials and (args.schema or args.layout):
+        ap.error("--specials is a standalone data axis")
     if args.sparkconf and args.outdir:
         ap.error("--outdir is meaningless with --sparkconf (no data written)")
     mode = ("schema+layout" if args.schema and args.layout
             else "schema" if args.schema else "layout" if args.layout
             else "conf" if args.sparkconf else "skew" if args.skew
+            else "specials" if args.specials
             else "content")
     outdir = args.outdir or f"/tmp/fuzzdata-{mode}-seed{args.seed}"
     manifest: list[str] = []
@@ -634,6 +771,9 @@ def main() -> int:
     elif args.skew:
         manifest = build_skew_dir(outdir, args.seed)
         run_queries = args.queries
+    elif args.specials:
+        manifest = build_specials_dir(outdir, args.seed)
+        run_queries = args.queries or SPECIALS_QUERIES
     elif args.sparkconf:
         outdir = SRC  # pristine data; the session shape is the mutation
         conf = pick_conf(args.seed)

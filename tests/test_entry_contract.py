@@ -13,11 +13,11 @@ def _entry():
 
 
 # Queries intentionally registered WITHOUT an oracle (driver records a
-# rows-only check) — each must carry a documented reason.
-ROWS_ONLY = {
-    "profile_lineitem_approx",   # sketch metrics (HLL++/quantile sketches)
-    "file_balance_lineitem",     # file identity invisible to DuckDB
-}
+# rows-only check) — each must carry a documented reason.  Empty since r8:
+# the two former members gained bounds/verdict oracles
+# (profile_lineitem_approx -> approx_bounds_verdict all-TRUE inventory,
+# file_balance_lineitem -> n_rows conservation + consistency verdict).
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -46,12 +46,11 @@ def test_gate_priority_window_is_intact():
     assert not missing, f"_GATE_PRIORITY names not registered: {missing}"
     assert len(gp) == len(set(gp)) == 50, "driver gate window is ~50 queries"
     assert list(q)[: len(gp)] == gp
-    # every gated query is hash-checked except the one rows-only-by-contract
-    # member of the steady-state window: profile_lineitem_approx (the
-    # permanent sketch sentinel).  file_balance_lineitem, the only other
-    # rows-only query, earned its driver row in the r06 rotation.
+    # since r8 EVERY gated query is hash-checked: the former rows-only
+    # sketch sentinel (profile_lineitem_approx) now emits a bounds verdict
+    # with an all-TRUE inventory oracle.
     os_ = m.oracle_sql()
-    assert [k for k in gp if k not in os_] == ["profile_lineitem_approx"]
+    assert [k for k in gp if k not in os_] == []
 
 
 def test_gate_window_completes_the_rotation():

@@ -53,15 +53,15 @@ def test_classify_arrow_mapping():
 
 
 def test_schema_queries_are_registered_with_expected_oracles():
-    """Every replayed query must exist; all are oracle-hashed except the
-    sketch rows-only member."""
+    """Every replayed query must exist and be oracle-hashed (since r8 the
+    former rows-only sketch query carries a bounds-verdict oracle)."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
     missing = [q for q in FZ.SCHEMA_QUERIES if q not in qs]
     assert missing == []
     rows_only = [q for q in FZ.SCHEMA_QUERIES if q not in os_]
-    assert rows_only == ["profile_lineitem_approx"]
+    assert rows_only == []
 
 
 def test_orders_is_frozen_in_mutation_candidates():
