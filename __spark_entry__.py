@@ -1721,8 +1721,16 @@ def _k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance band as the sensitive attribute."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity import k_anonymity
 
+    # non-finite balances have no band (NULL): Spark floor(double)
+    # returns BIGINT and would silently band NaN as 0 and ±Inf as
+    # ±Long.Max (the oracle's BIGINT cast raises). r8 specials-axis find.
     c = _t(spark, sf_dir, "customer").withColumn(
-        "bal_band", F.floor(F.col("c_acctbal") / 1000)
+        "bal_band",
+        F.expr(
+            "CASE WHEN isnan(cast(c_acctbal AS double)) "
+            "OR abs(cast(c_acctbal AS double)) = double('Infinity') "
+            "THEN NULL ELSE floor(c_acctbal / 1000) END"
+        ),
     )
     return k_anonymity(c, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2)
 
@@ -2896,7 +2904,9 @@ FROM (
         "k_anonymity_customer": __import__(
             "data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity", fromlist=["x"]
         ).k_anonymity_sql(
-            "(SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band"
+            "(SELECT *, CAST(floor(CASE WHEN isnan(CAST(c_acctbal AS DOUBLE))"
+            " OR abs(CAST(c_acctbal AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
+            " THEN NULL ELSE c_acctbal END / 1000) AS BIGINT) AS bal_band"
             " FROM customer) _c",
             ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2,
         ),

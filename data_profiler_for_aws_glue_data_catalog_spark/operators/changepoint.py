@@ -47,10 +47,18 @@ def mean_shift(
     candidate (ties -> earliest). ``id_col`` breaks timestamp ties so the
     cumulative order is total.
     """
+    # out-of-domain observations (NaN/±Inf/|v| >= 1e21) are excluded like
+    # NULLs: the exact-decimal cumulative sums cannot represent them
+    # (try_cast would silently NULL them while row_number still counted
+    # the row, skewing t*mean), and a CUSUM over specials is undefined —
+    # they surface via the profile metrics instead. r8 specials-axis find.
     base = df.where(
         F.col(value_col).isNotNull()
         & F.col(ts_col).isNotNull()
         & F.col(key_col).isNotNull()
+        & F.expr(
+            f"coalesce(abs(cast({value_col} AS double)) < 1e21, false)"
+        )
     ).select(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).alias("_ts"),
@@ -113,6 +121,7 @@ WITH base AS (
   FROM {table}
   WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
     AND {key_col} IS NOT NULL
+    AND COALESCE(ABS(CAST({value_col} AS DOUBLE)) < 1e21, FALSE)
 ),
 cum AS (
   SELECT key, _ts, _id,

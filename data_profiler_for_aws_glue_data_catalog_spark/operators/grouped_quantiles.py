@@ -51,8 +51,18 @@ def grouped_quantiles(
     aggs = []
     for i, c in enumerate(value_cols):
         extra = f", {accuracy}" if not exact else ""
+        # order statistics are over FINITE values: Spark sorts NaN last
+        # where DuckDB's quantile_cont poisons the whole result, and ±Inf
+        # interpolation (0*inf) differs — stripping specials on both
+        # sides is the one portable semantic. r8 float-specials axis.
+        q = sql_ident(c)
+        fin = (
+            f"CASE WHEN isnan(cast({q} AS double)) "
+            f"OR abs(cast({q} AS double)) = double('Infinity') "
+            f"THEN NULL ELSE {q} END"
+        )
         aggs.append(
-            f"{fn}({sql_ident(c)}, array({pts_sql}){extra}) AS q_{i}"
+            f"{fn}({fin}, array({pts_sql}){extra}) AS q_{i}"
         )
     from pyspark.sql import functions as F
 
@@ -85,9 +95,14 @@ def grouped_quantiles_sql(
     """DuckDB mirror: quantile_cont per group, same unpivot."""
     sel = [f"CAST({group_col} AS VARCHAR) AS group_value"]
     for i, c in enumerate(value_cols):
+        fin = (
+            f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
+            f"OR abs(CAST({c} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+            f"THEN NULL ELSE {c} END"
+        )
         for j, p in enumerate(points):
             sel.append(
-                f"quantile_cont({c}, {float(p)!r}) AS q_{i}_{j}"
+                f"quantile_cont({fin}, {float(p)!r}) AS q_{i}_{j}"
             )
     inner = (
         f"SELECT {', '.join(sel)} FROM {table} "

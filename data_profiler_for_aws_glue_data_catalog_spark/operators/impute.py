@@ -36,13 +36,32 @@ def impute(df: DataFrame, strategies: dict[str, str]) -> DataFrame:
     columns pass through unchanged."""
     stat_exprs = []
     for c, s in strategies.items():
+        # domain guard + finite-only order statistics (r8 float-specials
+        # axis): a column containing NaN/±Inf or |v| >= 1e21 takes the
+        # IEEE mean (ANSI cast-to-decimal would throw); the median is
+        # defined over FINITE values (Spark sorts NaN last where DuckDB's
+        # quantile poisons — stripping both sides is the one portable
+        # semantic, and an imputation statistic should be finite anyway).
+        cd = f"cast(`{c}` AS double)"
+        fin = (
+            f"CASE WHEN isnan({cd}) OR abs({cd}) = double('Infinity') "
+            f"THEN NULL ELSE {cd} END"
+        )
         if s == "mean":
+            dec = (
+                f"cast(sum(try_cast(`{c}` AS decimal(27,6))) AS double)"
+                f" / count(`{c}`)"
+            )
+            mean = (
+                f"CASE WHEN coalesce(max(abs({cd})) < 1e21, true) "
+                f"THEN {dec} ELSE avg({cd}) END"
+            )
             stat_exprs.append(
-                f"cast({ROUND6.format(x=f'cast(sum(cast(`{c}` AS decimal(27,6))) AS double) / count(`{c}`)')} AS double) AS fill_{c}"
+                f"cast({ROUND6.format(x=mean)} AS double) AS fill_{c}"
             )
         elif s == "median":
             stat_exprs.append(
-                f"cast({ROUND6.format(x=f'percentile(`{c}`, 0.5)')} AS double) AS fill_{c}"
+                f"cast({ROUND6.format(x=f'percentile({fin}, 0.5)')} AS double) AS fill_{c}"
             )
     out = df
     if stat_exprs:
@@ -89,13 +108,28 @@ def impute_sql(
     """DuckDB mirror of impute."""
     stat_cols = []
     for c, s in strategies.items():
+        # mirror of the engine's domain guard / finite-only median
+        cd = f"CAST({c} AS DOUBLE)"
+        fin = (
+            f"CASE WHEN isnan({cd}) OR abs({cd}) = CAST('Infinity' AS DOUBLE) "
+            f"THEN NULL ELSE {cd} END"
+        )
+        strip = f"CASE WHEN ABS({cd}) < 1e21 THEN {c} END"
         if s == "mean":
+            dec = (
+                f"CAST(SUM(CAST({strip} AS DECIMAL(27,6))) AS DOUBLE)"
+                f" / COUNT({c})"
+            )
+            mean = (
+                f"CASE WHEN COALESCE(MAX(ABS({cd})) < 1e21, TRUE) "
+                f"THEN {dec} ELSE AVG({cd}) END"
+            )
             stat_cols.append(
-                f"CAST({ROUND6.format(x=f'CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({c})')} AS DOUBLE) AS fill_{c}"
+                f"CAST({ROUND6.format(x=mean)} AS DOUBLE) AS fill_{c}"
             )
         elif s == "median":
             stat_cols.append(
-                f"CAST({ROUND6.format(x=f'quantile_cont({c}, 0.5)')} AS DOUBLE) AS fill_{c}"
+                f"CAST({ROUND6.format(x=f'quantile_cont({fin}, 0.5)')} AS DOUBLE) AS fill_{c}"
             )
     ctes = []
     if stat_cols:

@@ -44,9 +44,16 @@ def _mask_col(c: Column, strategy: str, seed: int, k: int, width: float) -> Colu
     if strategy == "null":
         return F.when(F.lit(False), c)
     if strategy == "bucket":
+        # specials pass through: Spark floor(double) returns BIGINT and
+        # would saturate ±Inf to ±Long.Max and NaN to 0 (the DuckDB
+        # mirror's floor propagates them) — and a NaN/Inf balance is
+        # already non-identifying, so generalizing it is a no-op anyway
+        d = c.cast("double")
         return F.when(
             c.isNotNull(),
-            (F.floor(c.cast("double") / width) * width).cast("double"),
+            F.when(
+                F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d
+            ).otherwise((F.floor(d / width) * width).cast("double")),
         )
     if strategy == "year":
         return F.when(c.isNotNull(), F.trunc(c.cast("date"), "year"))
@@ -103,9 +110,17 @@ def mask_columns_sql(
         elif s == "null":
             outs.append(f"CASE WHEN FALSE THEN {c} END AS {c}")
         elif s == "bucket":
+            # specials pass through (engine parity); + 0.0 normalizes the
+            # -0.0 bucket DuckDB's double floor produces where Spark's
+            # BIGINT floor yields +0 (rendering parity, values equal)
             outs.append(
-                f"CASE WHEN {c} IS NOT NULL THEN CAST(FLOOR(CAST({c} AS DOUBLE)"
-                f" / {bucket_width!r}) * {bucket_width!r} AS DOUBLE) END AS {c}"
+                f"CASE WHEN {c} IS NOT NULL THEN "
+                f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
+                f"OR abs(CAST({c} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+                f"THEN CAST({c} AS DOUBLE) "
+                f"ELSE CAST(FLOOR(CAST({c} AS DOUBLE)"
+                f" / {bucket_width!r}) * {bucket_width!r} + 0.0 AS DOUBLE) END "
+                f"END AS {c}"
             )
         elif s == "year":
             outs.append(

@@ -67,7 +67,13 @@ def resample_ohlc(
             F.max("_v").alias("high"),
             F.min("_v").alias("low"),
             F.max_by("_v", order).alias("close"),
-            F.sum(F.expr(f"try_cast(_v AS {DEC})")).cast("double").alias("vsum"),
+            # per-bucket domain guard (scan_metrics policy, r8 specials
+            # axis): NaN/±Inf/huge buckets take the IEEE double sum
+            F.expr(
+                f"CASE WHEN coalesce(max(abs(_v)) < 1e21, true) "
+                f"THEN cast(sum(try_cast(_v AS {DEC})) AS double) "
+                f"ELSE sum(_v) END"
+            ).alias("vsum"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(*OHLC_COLS)
@@ -108,7 +114,10 @@ SELECT key, bucket_start,
   MAX(_v) AS high,
   MIN(_v) AS low,
   MAX(CASE WHEN rn_d = 1 THEN _v END) AS close,
-  CAST(SUM(CAST(_v AS DECIMAL(27,6))) AS DOUBLE) AS vsum,
+  CASE WHEN COALESCE(MAX(ABS(_v)) < 1e21, TRUE)
+    THEN CAST(SUM(CAST((CASE WHEN ABS(_v) < 1e21 THEN _v END)
+                       AS DECIMAL(27,6))) AS DOUBLE)
+    ELSE SUM(_v) END AS vsum,
   COUNT(*) AS n
 FROM ranked
 GROUP BY key, bucket_start

@@ -52,7 +52,18 @@ def rolling_stats(
         f"PARTITION BY {entity_col} ORDER BY cast({ts_col} AS long) "
         f"RANGE BETWEEN {window_seconds} PRECEDING AND CURRENT ROW"
     )
-    w_sum = f"cast(sum({vd}) OVER ({frame}) AS double)"
+    # per-frame domain guard (scan_metrics policy): a frame containing
+    # NaN/±Inf or |v| >= 1e21 switches to the IEEE double sum — the
+    # decimal cast cannot represent those (Spark try_cast NULL-skips,
+    # DuckDB's CAST raises) and IEEE propagates them absorbingly, so
+    # the pick is partition-order-free. r8 float-specials axis find.
+    m = f"max(abs(cast({value_col} AS double))) OVER ({frame})"
+    dec_sum = f"cast(sum({vd}) OVER ({frame}) AS double)"
+    ieee_sum = f"sum(cast({value_col} AS double)) OVER ({frame})"
+    w_sum = (
+        f"CASE WHEN coalesce({m} < 1e21, true) "
+        f"THEN {dec_sum} ELSE {ieee_sum} END"
+    )
     w_cnt = f"count({value_col}) OVER ({frame})"
     mean = f"{w_sum} / cast({w_cnt} AS double)"
     return df.selectExpr(
@@ -72,23 +83,34 @@ def rolling_stats_sql(
     value_col: str = "value",
     window_seconds: int = 7 * 86400,
 ) -> str:
-    """DuckDB mirror: same epoch-seconds RANGE frame, same decimals."""
+    """DuckDB mirror: same epoch-seconds RANGE frame, same decimals,
+    same per-frame domain guard (the decimal-cast argument additionally
+    strips out-of-domain values to NULL — DuckDB CAST raises where Spark
+    try_cast yields NULL; the stripped branch is only USED when the
+    frame is fully in-domain)."""
     vr = ROUND6.format(x=f"CAST({value_col} AS DOUBLE)")
-    vd = f"CAST({vr} AS DECIMAL(27,6))"
+    strip = (
+        f"CASE WHEN ABS(CAST({value_col} AS DOUBLE)) < 1e21 THEN {vr} END"
+    )
+    vd = f"CAST({strip} AS DECIMAL(27,6))"
     # floor(epoch()) mirrors Spark's truncating timestamp->long cast
     frame = (
         f"PARTITION BY {entity_col} ORDER BY CAST(floor(epoch({ts_col})) AS BIGINT) "
         f"RANGE BETWEEN {window_seconds} PRECEDING AND CURRENT ROW"
     )
-    mean = (
-        f"CAST(SUM({vd}) OVER ({frame}) AS DOUBLE)"
-        f" / CAST(COUNT({value_col}) OVER ({frame}) AS DOUBLE)"
+    m = f"MAX(ABS(CAST({value_col} AS DOUBLE))) OVER ({frame})"
+    dec_sum = f"CAST(SUM({vd}) OVER ({frame}) AS DOUBLE)"
+    ieee_sum = f"SUM(CAST({value_col} AS DOUBLE)) OVER ({frame})"
+    w_sum = (
+        f"CASE WHEN COALESCE({m} < 1e21, TRUE) "
+        f"THEN {dec_sum} ELSE {ieee_sum} END"
     )
+    mean = f"({w_sum}) / CAST(COUNT({value_col}) OVER ({frame}) AS DOUBLE)"
     return f"""
 SELECT {entity_col} AS entity_id, {ts_col} AS ts,
   CAST({value_col} AS DOUBLE) AS value,
   COUNT({value_col}) OVER ({frame}) AS w_count,
-  CAST(SUM({vd}) OVER ({frame}) AS DOUBLE) AS w_sum,
+  {w_sum} AS w_sum,
   CAST({ROUND6.format(x=mean)} AS DOUBLE) AS w_mean
 FROM {table}
 """

@@ -32,8 +32,14 @@ def temporal_profile(
     value_col: str | None = "value",
 ) -> DataFrame:
     """(dimension in {'hour','dow'}, bucket, n_events, frac, value_sum)."""
+    # domain-guarded value sum (scan_metrics policy): NaN/±Inf or
+    # |v| >= 1e21 in a bucket switches that bucket to the IEEE double
+    # sum — ANSI cast-to-decimal would throw on specials, try_cast would
+    # silently drop them. r8 float-specials axis find.
     vs = (
-        f"cast(sum(cast(`{value_col}` AS decimal(27,6))) AS double)"
+        f"CASE WHEN coalesce(max(abs(cast(`{value_col}` AS double))) < 1e21, true) "
+        f"THEN cast(sum(try_cast(`{value_col}` AS decimal(27,6))) AS double) "
+        f"ELSE sum(cast(`{value_col}` AS double)) END"
         if value_col
         else "cast(0.0 AS double)"
     )
@@ -68,7 +74,10 @@ def temporal_profile_sql(
     """DuckDB mirror. DuckDB dayofweek() is 0=Sunday..6; +1 aligns it to
     Spark's 1=Sunday..7 convention."""
     vs = (
-        f"CAST(SUM(CAST({value_col} AS DECIMAL(27,6))) AS DOUBLE)"
+        f"CASE WHEN COALESCE(MAX(ABS(CAST({value_col} AS DOUBLE))) < 1e21, TRUE) "
+        f"THEN CAST(SUM(CAST((CASE WHEN ABS(CAST({value_col} AS DOUBLE)) < 1e21 "
+        f"THEN {value_col} END) AS DECIMAL(27,6))) AS DOUBLE) "
+        f"ELSE SUM(CAST({value_col} AS DOUBLE)) END"
         if value_col
         else "CAST(0.0 AS DOUBLE)"
     )

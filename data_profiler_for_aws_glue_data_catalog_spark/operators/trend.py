@@ -42,10 +42,20 @@ def trend_slopes(
     value_col: str = "value",
 ) -> DataFrame:
     """(entity, n_points, slope_per_day, intercept) per entity."""
+    # non-finite observations are excluded like NULLs: the 6-dp integer
+    # quantization cannot represent them (Spark floor(double)->BIGINT
+    # would silently saturate NaN to 0 and ±Inf to ±Long.Max; the DuckDB
+    # mirror's BIGINT cast raises) — a regression over NaN/Inf points is
+    # undefined anyway. Found by the r8 float-specials fuzz axis.
+    vd = f"cast(`{value_col}` AS double)"
+    finite = F.expr(
+        f"NOT (isnan({vd}) OR abs({vd}) = double('Infinity'))"
+    )
     base = df.where(
         F.col(entity_col).isNotNull()
         & F.col(ts_col).isNotNull()
         & F.col(value_col).isNotNull()
+        & finite
     ).select(
         F.col(entity_col).alias("entity"),
         F.unix_timestamp(F.col(ts_col)).alias("xs"),
@@ -109,6 +119,8 @@ WITH base AS (
   FROM {table}
   WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL
     AND {value_col} IS NOT NULL
+    AND NOT (isnan(CAST({value_col} AS DOUBLE))
+             OR abs(CAST({value_col} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))
 ),
 origins AS (SELECT entity, MIN(xs) AS x0 FROM base GROUP BY entity),
 centered AS (
@@ -162,10 +174,14 @@ def period_over_period(
         ).cast("long").alias("_wk"),
         F.col(value_col).alias("v"),
     )
+    # per-bucket domain guard (scan_metrics policy, r8 specials axis):
+    # buckets holding NaN/±Inf or |v| >= 1e21 take the IEEE double sum
     buck = base.groupBy("key", "_wk").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.expr(
-            "cast(sum(try_cast(v AS decimal(27,6))) AS double)"
+            "CASE WHEN coalesce(max(abs(cast(v AS double))) < 1e21, true) "
+            "THEN cast(sum(try_cast(v AS decimal(27,6))) AS double) "
+            "ELSE sum(cast(v AS double)) END"
         ).alias("vsum"),
     )
     w = Window.partitionBy("key").orderBy("_wk")
@@ -212,7 +228,10 @@ WITH base AS (
 ),
 buck AS (
   SELECT key, _wk, COUNT(*) AS n_events,
-    CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS vsum
+    CASE WHEN COALESCE(MAX(ABS(CAST(v AS DOUBLE))) < 1e21, TRUE)
+      THEN CAST(SUM(CAST((CASE WHEN ABS(CAST(v AS DOUBLE)) < 1e21 THEN v END)
+                         AS DECIMAL(27,6))) AS DOUBLE)
+      ELSE SUM(CAST(v AS DOUBLE)) END AS vsum
   FROM base GROUP BY key, _wk
 ),
 lagged AS (

@@ -40,14 +40,21 @@ def wasserstein_1d(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
         partitioned_prefix_sums,
     )
 
+    # W1 is defined over finite observations: NaN/±Inf (and |v| >= 1e12,
+    # where a single CDF-gap term would leave the decimal(27,12) domain)
+    # are excluded like NULLs on both sides — distance-to-infinite-mass
+    # is infinite by definition, and the engines' specials arithmetic
+    # diverges (Spark floor saturation vs DuckDB propagation, decimal
+    # cast error vs NULL). r8 float-specials axis find.
+    dom = f"coalesce(abs(cast(`{col}` AS double)) < 1e12, false)"
     lf = (
-        left.where(F.col(col).isNotNull())
+        left.where(F.col(col).isNotNull() & F.expr(dom))
         .select(F.col(col).cast("double").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cl"))
     )
     rf = (
-        right.where(F.col(col).isNotNull())
+        right.where(F.col(col).isNotNull() & F.expr(dom))
         .select(F.col(col).cast("double").alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cr"))
@@ -103,11 +110,13 @@ def wasserstein_1d_sql(left_sql: str, right_sql: str, col: str) -> str:
     return f"""
 WITH lf AS (
   SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS cl
-  FROM ({left_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+  FROM ({left_sql}) WHERE {col} IS NOT NULL
+    AND COALESCE(ABS(CAST({col} AS DOUBLE)) < 1e12, FALSE) GROUP BY 1
 ),
 rf AS (
   SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS cr
-  FROM ({right_sql}) WHERE {col} IS NOT NULL GROUP BY 1
+  FROM ({right_sql}) WHERE {col} IS NOT NULL
+    AND COALESCE(ABS(CAST({col} AS DOUBLE)) < 1e12, FALSE) GROUP BY 1
 ),
 f AS (
   SELECT v, COALESCE(cl, 0) AS cl, COALESCE(cr, 0) AS cr

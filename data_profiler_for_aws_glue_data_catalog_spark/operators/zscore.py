@@ -28,6 +28,15 @@ ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
     "CASE WHEN abs({x}) < 9.0e12 "
     "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
 )
+# Per-group domain guard (scan_metrics policy; r8 float-specials axis):
+# a group containing NaN/±Inf or |v| >= 1e12 (the squares' decimal(18,6)
+# domain) takes IEEE double moments instead — specials then propagate
+# (NaN group -> NaN z/CI) instead of being silently dropped by try_cast,
+# and the DuckDB mirror's decimal casts never see a special (they raise
+# where Spark's try_cast yields NULL).
+_GUARD = "1e12"
+_IN_DOM = f"coalesce(_m < {_GUARD}, true)"
+_STRIP = "CASE WHEN ABS(value) < 1e12 THEN value END"
 
 ZSCORE_COLS = ["group_key", "id", "value", "z"]
 
@@ -51,16 +60,21 @@ def zscore_normalize(
     )
     stats = base.groupBy("group_key").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.expr(f"cast(sum(try_cast(value AS {DEC})) AS double)").alias("_s"),
+        F.expr("max(abs(value))").alias("_m"),
+        F.expr(f"cast(sum(try_cast(value AS {DEC})) AS double)").alias("_sd"),
         # squares accumulate in decimal(18,6) (the scan_metrics SQ_DECIMAL
         # convention: product decimal(37,12) stays inside precision 38)
         F.expr(
             "cast(sum(try_cast(value AS decimal(18,6))"
             " * try_cast(value AS decimal(18,6))) AS double)"
-        ).alias("_s2"),
+        ).alias("_s2d"),
+        F.expr("sum(value)").alias("_si"),
+        F.expr("sum(value * value)").alias("_s2i"),
     )
-    mean = "(_s / _n)"
-    var = f"greatest(_s2 / _n - {mean} * {mean}, 0.0)"
+    s = f"(CASE WHEN {_IN_DOM} THEN _sd ELSE _si END)"
+    s2 = f"(CASE WHEN {_IN_DOM} THEN _s2d ELSE _s2i END)"
+    mean = f"({s} / _n)"
+    var = f"greatest({s2} / _n - {mean} * {mean}, 0.0)"
     z = f"try_divide(value - {mean}, sqrt({var}))"
     return (
         base.join(F.broadcast(stats), "group_key")
@@ -77,9 +91,13 @@ def zscore_normalize(
 def zscore_normalize_sql(
     table: str, value_col: str, group_col: str, id_col: str
 ) -> str:
-    """DuckDB mirror of :func:`zscore_normalize` (same moment shapes)."""
-    mean = "(_s / _n)"
-    var = f"greatest(_s2 / _n - {mean} * {mean}, 0.0)"
+    """DuckDB mirror of :func:`zscore_normalize` (same moment shapes and
+    per-group domain guard; decimal-cast arguments strip out-of-domain
+    values — only the IEEE branch is USED for such groups)."""
+    s = f"(CASE WHEN {_IN_DOM} THEN _sd ELSE _si END)"
+    s2 = f"(CASE WHEN {_IN_DOM} THEN _s2d ELSE _s2i END)"
+    mean = f"({s} / _n)"
+    var = f"greatest({s2} / _n - {mean} * {mean}, 0.0)"
     z = f"(value - {mean}) / nullif(sqrt({var}), 0.0)"
     return f"""
 WITH base AS (
@@ -90,10 +108,13 @@ WITH base AS (
 ),
 stats AS (
   SELECT group_key, COUNT(*) AS _n,
-    CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
-    CAST(SUM(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
-           * CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)))
-         AS DOUBLE) AS _s2
+    MAX(ABS(value)) AS _m,
+    CAST(SUM(TRY_CAST({_STRIP} AS DECIMAL(27,6))) AS DOUBLE) AS _sd,
+    CAST(SUM(CAST(TRY_CAST({_STRIP} AS DECIMAL(18,6)) AS DECIMAL(19,6))
+           * CAST(TRY_CAST({_STRIP} AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+         AS DOUBLE) AS _s2d,
+    SUM(value) AS _si,
+    SUM(value * value) AS _s2i
   FROM base GROUP BY group_key
 )
 SELECT b.group_key, b.id, b.value,
@@ -134,14 +155,19 @@ def ab_compare(
     )
     stats = base.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"cast(sum(try_cast(value AS {DEC})) AS double)").alias("_s"),
+        F.expr("max(abs(value))").alias("_m"),
+        F.expr(f"cast(sum(try_cast(value AS {DEC})) AS double)").alias("_sd"),
         F.expr(
             "cast(sum(try_cast(value AS decimal(18,6))"
             " * try_cast(value AS decimal(18,6))) AS double)"
-        ).alias("_s2"),
+        ).alias("_s2d"),
+        F.expr("sum(value)").alias("_si"),
+        F.expr("sum(value * value)").alias("_s2i"),
     )
-    mean = "(_s / n)"
-    var = f"greatest(_s2 / n - {mean} * {mean}, 0.0)"
+    s = f"(CASE WHEN {_IN_DOM} THEN _sd ELSE _si END)"
+    s2 = f"(CASE WHEN {_IN_DOM} THEN _s2d ELSE _s2i END)"
+    mean = f"({s} / n)"
+    var = f"greatest({s2} / n - {mean} * {mean}, 0.0)"
     half = f"(1.96 * sqrt({var}) / sqrt(cast(n AS double)))"
     return stats.selectExpr(
         "arm",
@@ -159,11 +185,14 @@ def ab_compare_sql(
     assign_rate: float = 0.5,
     seed: int = 0,
 ) -> str:
-    """DuckDB mirror of :func:`ab_compare` (same hash assignment)."""
+    """DuckDB mirror of :func:`ab_compare` (same hash assignment, same
+    per-group domain guard with stripped decimal-cast arguments)."""
     from data_profiler_for_aws_glue_data_catalog_spark.oracle_ext import _bucket_sql, _threshold
 
-    mean = "(_s / n)"
-    var = f"greatest(_s2 / n - {mean} * {mean}, 0.0)"
+    s = f"(CASE WHEN {_IN_DOM} THEN _sd ELSE _si END)"
+    s2 = f"(CASE WHEN {_IN_DOM} THEN _s2d ELSE _s2i END)"
+    mean = f"({s} / n)"
+    var = f"greatest({s2} / n - {mean} * {mean}, 0.0)"
     half = f"(1.96 * sqrt({var}) / sqrt(CAST(n AS DOUBLE)))"
     return f"""
 WITH base AS (
@@ -174,10 +203,13 @@ WITH base AS (
 ),
 stats AS (
   SELECT arm, COUNT(*) AS n,
-    CAST(SUM(TRY_CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS _s,
-    CAST(SUM(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
-           * CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)))
-         AS DOUBLE) AS _s2
+    MAX(ABS(value)) AS _m,
+    CAST(SUM(TRY_CAST({_STRIP} AS DECIMAL(27,6))) AS DOUBLE) AS _sd,
+    CAST(SUM(CAST(TRY_CAST({_STRIP} AS DECIMAL(18,6)) AS DECIMAL(19,6))
+           * CAST(TRY_CAST({_STRIP} AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+         AS DOUBLE) AS _s2d,
+    SUM(value) AS _si,
+    SUM(value * value) AS _s2i
   FROM base GROUP BY arm
 )
 SELECT arm, n,

@@ -243,12 +243,20 @@ def _stddev_sql(c: str) -> str:
     # Fallback parity on float specials: Spark stddev_pop yields NaN when
     # any NaN/±Inf is present, DuckDB STDDEV_POP raises Out of Range —
     # detect specials from the same MAX aggregates and emit NaN directly
-    # (finite out-of-domain values keep the STDDEV_POP fallback).
+    # (finite out-of-domain values keep the STDDEV_POP fallback). The
+    # STDDEV_POP *argument* strips specials to NULL: a CASE between
+    # aggregates still EVALUATES both branches, so the aggregate itself
+    # must never see a special (its value is only used when none exist).
+    cf = (
+        f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
+        f"OR ABS(CAST({c} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+        f"THEN NULL ELSE CAST({c} AS DOUBLE) END"
+    )
     fb = (
         f"CASE WHEN isnan(MAX(CAST({c} AS DOUBLE))) "
         f"OR MAX(ABS(CAST({c} AS DOUBLE))) = CAST('Infinity' AS DOUBLE) "
         f"THEN CAST('NaN' AS DOUBLE) "
-        f"ELSE STDDEV_POP(CAST({c} AS DOUBLE)) END"
+        f"ELSE STDDEV_POP({cf}) END"
     )
     return f"ROUND({_guarded(c, _SQ_GUARD, dec, fb)}, 6)"
 
