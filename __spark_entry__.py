@@ -3022,14 +3022,19 @@ WHERE l_orderkey IN (
 SELECT key, MAX(_n) OVER (PARTITION BY key) AS n_vectors,
        dim_i, _m AS value
 FROM (
-  SELECT CAST(label AS VARCHAR) AS key, i - 1 AS dim_i,
-    COUNT(*) AS _n,
+  SELECT key, dim_i, COUNT(*) AS _n,
     CAST(floor(CAST(SUM(CAST(
-        floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        floor(xf * 1000000.0 + 0.5) / 1000000.0
       AS DECIMAL(27,6))) AS DOUBLE)
-      / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS _m
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
-  WHERE label IS NOT NULL AND embedding IS NOT NULL
+      / COUNT(xf) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS _m
+  FROM (
+    SELECT CAST(label AS VARCHAR) AS key, i - 1 AS dim_i,
+      CASE WHEN isnan(CAST(embedding[i] AS DOUBLE))
+           OR isinf(CAST(embedding[i] AS DOUBLE)) THEN NULL
+           ELSE CAST(embedding[i] AS DOUBLE) END AS xf
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    WHERE label IS NOT NULL AND embedding IS NOT NULL
+  )
   GROUP BY 1, 2
 )
 """,

@@ -49,15 +49,22 @@ def mean_pool(
     )
     if expected_dim is not None:
         base = base.where(F.size(F.col(vec_col)) == expected_dim)
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import fin_element
+
     exploded = base.select(
         F.col(key_col).cast("string").alias("key"),
         F.posexplode(F.col(vec_col)).alias("dim_i", "x"),
+    ).selectExpr(
+        "key", "dim_i",
+        # finite-elements policy (vector_stats.fin_element, r8 specials
+        # axis): non-finite elements are missing for their dimension
+        fin_element("cast(x AS double)") + " AS x",
     )
     # float inputs round-trip through ROUND6'd doubles before the decimal
     # cast (vector_stats recipe): a 6-dp double converts to DECIMAL(27,6)
     # identically in both engines, where a raw float->decimal cast can
     # differ in the half-up/half-even last digit.
-    xr = ROUND6.format(x="cast(x AS double)")
+    xr = ROUND6.format(x="x")
     per_dim = exploded.groupBy("key", "dim_i").agg(
         F.count(F.lit(1)).alias("_n"),
         F.expr(
@@ -94,14 +101,17 @@ def mean_pool_sql(
     guard = (
         f" AND len({vec_col}) = {expected_dim}" if expected_dim is not None else ""
     )
-    xr = ROUND6.format(x="CAST(x AS DOUBLE)")
+    xr = ROUND6.format(x="x")
     mean = ROUND6.format(
         x=f"CAST(SUM(CAST({xr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(x)"
     )
     return f"""
 WITH exploded AS (
   SELECT CAST({key_col} AS VARCHAR) AS key,
-    i - 1 AS dim_i, {vec_col}[i] AS x
+    i - 1 AS dim_i,
+    CASE WHEN isnan(CAST({vec_col}[i] AS DOUBLE))
+         OR isinf(CAST({vec_col}[i] AS DOUBLE)) THEN NULL
+         ELSE CAST({vec_col}[i] AS DOUBLE) END AS x
   FROM {table},
     UNNEST(range(1, len({vec_col}) + 1)) AS u(i)
   WHERE {key_col} IS NOT NULL AND {vec_col} IS NOT NULL{guard}

@@ -133,15 +133,27 @@ def quantize_embeddings(
         rngs.append(None if degenerate else mx - mn)
 
     def dlit(v: float | None) -> str:
-        return "cast(NULL AS double)" if v is None else f"{v!r}D"
+        # non-finite bounds render as degenerate (NULL): f"{nan!r}D" would
+        # emit the unparseable literal `nanD` — r8 float-specials find;
+        # unreachable now that vector_dim_stats is finite-only, kept as a
+        # defensive guard
+        import math
+
+        if v is None or not math.isfinite(v):
+            return "cast(NULL AS double)"
+        return f"{v!r}D"
 
     mins_lit = f"array({', '.join(dlit(v) for v in mins)})"
     rngs_lit = f"array({', '.join(dlit(v) for v in rngs)})"
     x = f"cast(try_element_at({sql_ident(vec_col)}, j) AS double)"
     scaled = f"(({x}) - element_at({mins_lit}, j)) / element_at({rngs_lit}, j) * {levels}.0D"
+    # non-finite elements quantize to NULL (finite-elements policy,
+    # vector_stats.fin_element): Spark's floor(double)->BIGINT would
+    # silently saturate them where the DuckDB mirror's INT cast raises
     q_arr = (
         f"transform(sequence(1, {dim}), j -> "
         f"CASE WHEN element_at({rngs_lit}, j) IS NULL THEN 0 "
+        f"WHEN isnan({x}) OR abs({x}) = double('Infinity') THEN NULL "
         f"ELSE cast(floor({scaled} + 0.5D) AS int) END)"
     )
     return embs.selectExpr(
@@ -162,11 +174,13 @@ def quantize_embeddings_sql(
     parts = []
     for j in range(dim):
         x = f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
-        mn = f"(SELECT MIN({x}) FROM {table})"
-        mx = f"(SELECT MAX({x}) FROM {table})"
+        xf = f"CASE WHEN isnan({x}) OR isinf({x}) THEN NULL ELSE {x} END"
+        mn = f"(SELECT MIN({xf}) FROM {table})"
+        mx = f"(SELECT MAX({xf}) FROM {table})"
         scaled = f"(({x}) - {mn}) / ({mx} - {mn}) * {levels}.0"
         q = (
             f"CASE WHEN {mx} IS NULL OR {mx} = {mn} THEN 0 "
+            f"WHEN isnan({x}) OR isinf({x}) THEN NULL "
             f"ELSE CAST(floor({scaled} + 0.5) AS INT) END"
         )
         parts.append(

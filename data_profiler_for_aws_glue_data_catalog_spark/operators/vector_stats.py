@@ -48,6 +48,25 @@ _DDEC = "DECIMAL(27,6)"
 _SQ = "decimal(18,6)"
 _DSQ = "DECIMAL(19,6)"
 
+def fin_element(x: str) -> str:
+    """Spark SQL: non-finite element -> NULL. Vector aggregates follow a
+    FINITE-ELEMENTS policy (r8 float-specials axis): a NaN/±Inf element
+    is treated as missing for its dimension — the decimal-exact per-dim
+    accumulators cannot represent it (Spark try_cast silently NULLs,
+    DuckDB CAST raises), and per-dim means/quantization over specials
+    are undefined. Non-finite VECTORS are surfaced by vector_norm_stats
+    (n_nonfinite)."""
+    return (
+        f"CASE WHEN isnan({x}) OR abs({x}) = double('Infinity') "
+        f"THEN NULL ELSE {x} END"
+    )
+
+
+def fin_element_duck(x: str) -> str:
+    """DuckDB mirror of :func:`fin_element`."""
+    return f"CASE WHEN isnan({x}) OR isinf({x}) THEN NULL ELSE {x} END"
+
+
 DIM_COLS = ["dim", "n_present", "mean", "std", "min_val", "max_val"]
 
 
@@ -61,7 +80,7 @@ def vector_dim_stats(
     for i in range(dim):
         # try_element_at: out-of-range -> NULL (ANSI element_at throws);
         # DuckDB's list index has the same NULL semantics.
-        x = f"cast(try_element_at({vec_col}, {i + 1}) AS double)"
+        x = fin_element(f"cast(try_element_at({vec_col}, {i + 1}) AS double)")
         xr = ROUND6.format(x=x)
         xd = f"try_cast({xr} AS {_DEC})"
         xq = f"try_cast({xr} AS {_SQ})"
@@ -93,7 +112,7 @@ def vector_dim_stats_sql(table: str, dim: int, vec_col: str = "embedding") -> st
     """DuckDB mirror (1-indexed list access, same decimal accumulation)."""
     parts = []
     for i in range(dim):
-        x = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
+        x = fin_element_duck(f"CAST({vec_col}[{i + 1}] AS DOUBLE)")
         xr = ROUND6.format(x=x)
         # TRY_CAST mirrors Spark's try_cast NULL-at-overflow envelope; the
         # widen to 19,6 keeps DuckDB's multiply on the int128 kernel
@@ -219,7 +238,7 @@ def _mean_vec_row(df: DataFrame, dim: int, vec_col: str, tag: str):
     """1-row frame of per-dim ROUND6'd decimal means + count, fused scan."""
     exprs = [f"count({vec_col}) AS n_{tag}"]
     for i in range(dim):
-        x = f"cast(try_element_at({vec_col}, {i + 1}) AS double)"
+        x = fin_element(f"cast(try_element_at({vec_col}, {i + 1}) AS double)")
         xd = f"try_cast({ROUND6.format(x=x)} AS {_DEC})"
         exprs.append(
             f"cast({ROUND6.format(x=f'try_divide(cast(sum({xd}) AS double), count({x}))')} AS double)"
@@ -270,7 +289,7 @@ def embedding_drift_sql(
     def side(sql: str, tag: str) -> str:
         cols = [f"COUNT({vec_col}) AS n_{tag}"]
         for i in range(dim):
-            x = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
+            x = fin_element_duck(f"CAST({vec_col}[{i + 1}] AS DOUBLE)")
             xd = f"CAST({ROUND6.format(x=x)} AS {_DDEC})"
             cols.append(
                 f"CAST({ROUND6.format(x=f'CAST(SUM({xd}) AS DOUBLE) / COUNT({x})')} AS DOUBLE)"
