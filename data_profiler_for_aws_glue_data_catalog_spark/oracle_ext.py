@@ -683,7 +683,10 @@ def kmeans_step_sql(
 ) -> str:
     """Mirror of operators/kmeans.kmeans_step: same assignment CTEs, then
     per-(cell, dimension) decimal-accumulated means, floor-ROUND6."""
-    mean = "CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+# NaN/Inf elements strip to NULL inside the decimal SUM only
+    # (mirrors Spark try_cast; COUNT(*) still counts the row) —
+    # r8 float-specials axis
+    mean = "CAST(SUM(CAST((CASE WHEN isnan(x) OR isinf(x) THEN NULL ELSE x END) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
     return f"""
 WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
 {_assigned_cells_sql(n_cells)},
@@ -1095,7 +1098,10 @@ def kmeans_train_sql(
     centroids, decimal per-(cell, dim) means, then centroid vectors
     rebuilt (values in dim order, left-fold norm, zero-norm dropped),
     exactly the floats the driver loop feeds back as literals."""
-    mean = "CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+# NaN/Inf elements strip to NULL inside the decimal SUM only
+    # (mirrors Spark try_cast; COUNT(*) still counts the row) —
+    # r8 float-specials axis
+    mean = "CAST(SUM(CAST((CASE WHEN isnan(x) OR isinf(x) THEN NULL ELSE x END) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
     parts = [
         f"n AS ({_normed_vectors_sql(table, vec_col, id_col)})",
         f"cents0 AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells})",
@@ -1337,7 +1343,8 @@ def ivf_inertia_sql(
     acos = round6_sql(f"({dot_sql('n.v', 'c.cv')}) / (n.nrm * c.cn)")
     mcos = round6_sql(f"({dot_sql('a.v', 'c.cv')}) / (a.nrm * c.cn)")
     mean = round6_sql(
-        "CAST(SUM(CAST(cos AS DECIMAL(27,6))) AS DOUBLE) / COUNT(cos)"
+        "CAST(SUM(CAST((CASE WHEN isnan(cos) OR isinf(cos) THEN NULL "
+        "ELSE cos END) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(cos)"
     )
     return f"""
 WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),

@@ -448,6 +448,12 @@ SPECIALS_QUERIES = [
     "vector_dim_stats", "vector_norm_stats", "project_embeddings",
     "quantize_embeddings", "embedding_drift_halves",
     "pool_embeddings_by_label", "truncation_recall_embeddings",
+    # similarity / clustering over the injected vectors (the normalize->
+    # candidate->verify pipeline must agree on NaN ordering end-to-end)
+    "dedup_embedding", "dedup_embedding_exact", "ann_cosine_topk",
+    "ann_ivf_topk", "ann_lsh_topk", "knn_join_embeddings",
+    "kmeans_step", "kmeans_train", "ivf_inertia_embeddings",
+    "dedup_incremental_lsh",
 ]
 
 
