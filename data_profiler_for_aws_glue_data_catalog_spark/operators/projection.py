@@ -145,19 +145,25 @@ def quantize_embeddings(
 
     mins_lit = f"array({', '.join(dlit(v) for v in mins)})"
     rngs_lit = f"array({', '.join(dlit(v) for v in rngs)})"
-    x = f"cast(try_element_at({sql_ident(vec_col)}, j) AS double)"
+    from data_profiler_for_aws_glue_data_catalog_spark.operators.vector_stats import fin_vec
+
+    # non-finite elements quantize to NULL (finite-elements policy): the
+    # vector is stripped ONCE per row (fin_vec), so a NaN/Inf element is
+    # already NULL here and propagates through scaled/floor to a NULL q —
+    # Spark's floor(double)->BIGINT would otherwise silently saturate
+    # where the DuckDB mirror's INT cast raises
+    x = "try_element_at(_fv, j)"
     scaled = f"(({x}) - element_at({mins_lit}, j)) / element_at({rngs_lit}, j) * {levels}.0D"
-    # non-finite elements quantize to NULL (finite-elements policy,
-    # vector_stats.fin_element): Spark's floor(double)->BIGINT would
-    # silently saturate them where the DuckDB mirror's INT cast raises
     q_arr = (
         f"transform(sequence(1, {dim}), j -> "
         f"CASE WHEN element_at({rngs_lit}, j) IS NULL THEN 0 "
-        f"WHEN isnan({x}) OR abs({x}) = double('Infinity') THEN NULL "
         f"ELSE cast(floor({scaled} + 0.5D) AS int) END)"
     )
     return embs.selectExpr(
         f"{sql_ident(id_col)} AS id",
+        f"{fin_vec(sql_ident(vec_col))} AS _fv",
+    ).selectExpr(
+        "id",
         f"posexplode({q_arr}) AS (dim, q)",
     ).select(*QUANT_COLS)
 
