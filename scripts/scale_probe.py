@@ -102,15 +102,25 @@ def build_sf1(outdir: str) -> None:
                     off = offsets[shifts[c]] * i
                     sel.append(f"({c} + {off}) AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
-                    # fresh shingles per replica: deterministic word-order
-                    # rehash (sort words by a salted hash) — near-dup rate
-                    # stays organic instead of 10-way exact clusters
+                    # fresh shingles per replica WITHOUT changing word
+                    # order: ~half the token occurrences gain a suffix
+                    # keyed by hash(word, position, replica). Identical
+                    # source texts mutate identically, so the source's
+                    # near-dup structure replicates linearly within each
+                    # replica, while across replicas the mutations differ
+                    # and trigram overlap drops to ~12.5% (below the LSH
+                    # threshold). (Sorting words instead — the first
+                    # attempt — grouped repeated words into corpus-wide
+                    # shared trigrams over the tiny synthetic vocabulary
+                    # and produced a 3000-doc hot LSH bucket: a builder
+                    # artifact, not engine behavior.)
                     sel.append(
-                        "array_to_string(list_transform(list_sort("
-                        "list_transform(string_split(text, ' '), "
-                        f"w -> lpad(CAST(hash(w, {i}) AS VARCHAR), 20, '0')"
-                        " || chr(31) || w)), "
-                        "s -> string_split(s, chr(31))[2]), ' ') AS text"
+                        "array_to_string(list_transform("
+                        "range(1, len(string_split(text, ' ')) + 1), "
+                        f"k -> CASE WHEN hash(string_split(text, ' ')[k], k, {i}) % 2 = 0 "
+                        f"THEN string_split(text, ' ')[k] || '_' || "
+                        f"CAST(hash(string_split(text, ' ')[k], k, {i}, 7) % 100000 AS VARCHAR) "
+                        "ELSE string_split(text, ' ')[k] END), ' ') AS text"
                     )
                 elif t == "embeddings" and c == "embedding" and i > 0:
                     # fresh vectors, same distribution: +-0.05 hash noise
@@ -145,13 +155,33 @@ def _rest(spark, path: str):
 
 def _shuffle_totals(spark) -> tuple[int, int, int]:
     """(shuffle read bytes, shuffle write bytes, input bytes) summed over
-    all completed stages so far."""
-    rd = wr = inp = 0
-    for st in _rest(spark, "stages?status=complete"):
-        rd += st.get("shuffleReadBytes", 0)
-        wr += st.get("shuffleWriteBytes", 0)
-        inp += st.get("inputBytes", 0)
-    return rd, wr, inp
+    all completed stages so far. The status store updates asynchronously
+    after an action returns, so poll until two consecutive reads agree."""
+    def read():
+        rd = wr = inp = 0
+        for st in _rest(spark, "stages?status=complete"):
+            rd += st.get("shuffleReadBytes", 0)
+            wr += st.get("shuffleWriteBytes", 0)
+            inp += st.get("inputBytes", 0)
+        return rd, wr, inp
+
+    prev = read()
+    for _ in range(10):
+        time.sleep(0.5)
+        cur = read()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
+def _force(df) -> None:
+    """Materialize EVERY output column: a bare count() lets Catalyst
+    prune row-count-preserving operators (a window-only plan loses its
+    whole shuffle), so hash-aggregate all columns instead."""
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    # bit_xor: overflow-free under ANSI (sum(hash) overflows BIGINT)
+    df.selectExpr(f"bit_xor(xxhash64({cols}))").collect()
 
 
 def run_probe(spark, qs, sf_dir: str) -> dict:
@@ -161,10 +191,14 @@ def run_probe(spark, qs, sf_dir: str) -> dict:
         df.count()  # warm file listing + page cache
     out = {}
     for name in PROBE_QUERIES:
+        # untimed first run: JIT/codegen compilation inflates the first
+        # execution of a plan by seconds — the probe compares warm runs
+        spark.catalog.clearCache()
+        _force(qs[name](spark, sf_dir))
         spark.catalog.clearCache()
         r0, w0, i0 = _shuffle_totals(spark)
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        _force(qs[name](spark, sf_dir))
         wall = time.perf_counter() - t0
         r1, w1, i1 = _shuffle_totals(spark)
         out[name] = {
