@@ -35,7 +35,12 @@ def toks_sql(c: str) -> str:
 
 
 def round6_sql(x: str) -> str:
-    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+    # guarded like the engine's ROUND6 template: specials and huge
+    # finites pass through unrounded on both sides (r8 specials axis)
+    return (
+        f"CASE WHEN abs({x}) < 9.0e12 "
+        f"THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
+    )
 
 
 def shingles_sql(toks: str, n: int) -> str:
