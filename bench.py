@@ -484,6 +484,9 @@ def main() -> None:
         "+1 sample when wall spread > 3x (stall guard)",
         "expected_noise_band": "wall spread up to ~3x on this host; CPU "
         "is the quiet metric — round_over_round gates on it",
+        "cpu_spread_note": "each query's FIRST sample carries JIT/codegen "
+        "compilation CPU, so cpu_spread (max/min) reads high by design; "
+        "the median is the steady-state statistic",
     }
     full = {
         "metric": "headline_queries_total",
