@@ -53,3 +53,22 @@ def test_round_over_round_math():
     empty = bench.round_over_round({"x": 1.0}, {"y": 1.0})
     assert empty["n_common"] == 0 and empty["total_ratio"] is None
     assert empty["median_ratio"] is None and empty["movers_outside_2x"] == {}
+
+
+def test_tree_cpu_seconds_counts_own_work():
+    """The /proc process-tree CPU counter must be monotone and register
+    CPU this process burns (the r8 quiet-metric column)."""
+    c0 = bench.tree_cpu_seconds()
+    x = sum(i * i for i in range(2_000_000))
+    assert x > 0
+    c1 = bench.tree_cpu_seconds()
+    assert c1 >= c0
+    assert c1 - c0 >= 0.01  # the loop costs well over one tick
+
+
+def test_round_over_round_prefers_cpu_column():
+    """main() gates on cpu_queries when the prior archive has them; the
+    pure comparison itself is metric-agnostic — pin that an all-zero
+    prev cpu map degrades to empty ratios rather than dividing by zero."""
+    rr = bench.round_over_round({"a": 1.0}, {"a": 0.0})
+    assert rr["n_common"] == 0 and rr["ratios"] == {}
