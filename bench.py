@@ -475,8 +475,10 @@ def main() -> None:
             rr["compared_metric"] = "cpu"
         else:
             rr = round_over_round(timings, prev_doc.get("queries", {}))
-            rr["compared_metric"] = "wall (prev round has no cpu column; "
-            "ratios also carry the one-time min->median protocol shift)"
+            rr["compared_metric"] = (
+                "wall (prev round has no cpu column; "
+                "ratios also carry the one-time min->median protocol shift)"
+            )
         rr["prev_round"] = prev_round
         rr["prev_detail"] = os.path.basename(prev_path)
     protocol = {

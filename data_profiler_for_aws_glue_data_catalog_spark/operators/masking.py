@@ -44,15 +44,17 @@ def _mask_col(c: Column, strategy: str, seed: int, k: int, width: float) -> Colu
     if strategy == "null":
         return F.when(F.lit(False), c)
     if strategy == "bucket":
-        # specials pass through: Spark floor(double) returns BIGINT and
-        # would saturate ±Inf to ±Long.Max and NaN to 0 (the DuckDB
-        # mirror's floor propagates them) — and a NaN/Inf balance is
-        # already non-identifying, so generalizing it is a no-op anyway
+        # specials AND huge finites pass through: Spark floor(double)
+        # returns BIGINT and would saturate ±Inf to ±Long.Max, NaN to 0,
+        # and any |d/width| >= Long.Max (e.g. 1e300) to ±Long.Max, while
+        # the DuckDB mirror's floor stays double and propagates — and a
+        # NaN/Inf/1e300 balance is already non-identifying, so
+        # generalizing it is a no-op anyway (r9 guard extension).
         d = c.cast("double")
         return F.when(
             c.isNotNull(),
             F.when(
-                F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d
+                F.isnan(d) | (F.abs(d / width) >= F.lit(9.0e18)), d
             ).otherwise((F.floor(d / width) * width).cast("double")),
         )
     if strategy == "year":
@@ -110,13 +112,14 @@ def mask_columns_sql(
         elif s == "null":
             outs.append(f"CASE WHEN FALSE THEN {c} END AS {c}")
         elif s == "bucket":
-            # specials pass through (engine parity); + 0.0 normalizes the
-            # -0.0 bucket DuckDB's double floor produces where Spark's
-            # BIGINT floor yields +0 (rendering parity, values equal)
+            # specials + huge finites pass through (engine parity with
+            # the Spark BIGINT-floor saturation guard); + 0.0 normalizes
+            # the -0.0 bucket DuckDB's double floor produces where
+            # Spark's BIGINT floor yields +0 (rendering parity)
             outs.append(
                 f"CASE WHEN {c} IS NOT NULL THEN "
                 f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
-                f"OR abs(CAST({c} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+                f"OR abs(CAST({c} AS DOUBLE) / {bucket_width!r}) >= 9.0e18 "
                 f"THEN CAST({c} AS DOUBLE) "
                 f"ELSE CAST(FLOOR(CAST({c} AS DOUBLE)"
                 f" / {bucket_width!r}) * {bucket_width!r} + 0.0 AS DOUBLE) END "

@@ -27,7 +27,28 @@ ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
     "CASE WHEN abs({x}) < 9.0e12 "
     "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
 )
-ROUND12 = "floor(({x}) * 1000000000000.0 + 0.5) / 1000000000000.0"
+# 12-dp rounding with the same saturation guard as ROUND6: Spark's
+# floor(double) returns BIGINT, so x*1e12 above Long.Max (~9.2e18, i.e.
+# |x| >= ~9.2e6) would silently saturate while DuckDB's floor stays
+# double — pass such terms through unrounded on BOTH engines. W1 terms
+# reach |cdf_gap|<=1 times value gaps up to ~2e12 (the 1e12 domain
+# filter bounds values, not gaps), so this path is reachable. r9 fix.
+ROUND12 = (
+    "CASE WHEN abs({x}) < 9.0e6 "
+    "THEN floor(({x}) * 1000000000000.0 + 0.5) / 1000000000000.0 "
+    "ELSE ({x}) END"
+)
+# Parity-safe decimal->double finisher (r9). A plain CAST(dec AS DOUBLE)
+# of a decimal(_,12) is double-rounded in DuckDB (int128 -> double, then
+# /1e12) but single-rounded through Java BigDecimal in Spark — they
+# disagree in the last ulp once |dec| > 2^53/1e12 ~ 9007, and ROUND6
+# cannot absorb an ulp once |dec| > ~9e9 (grid finer than double
+# resolution). Splitting first makes each cast a SINGLE rounding in BOTH
+# engines: floor(s) is an integer decimal (int -> double is one
+# correctly-rounded conversion everywhere), and s - floor(s) in [0,1)
+# converts exactly (scaled int < 1e12 < 2^53); the final IEEE add is
+# identical. Verified divergence-free over 405 random magnitudes to 1e14.
+SPLIT_CAST = "(cast(floor({s}) AS double) + cast(({s}) - floor({s}) AS double))"
 
 W1_COLS = ["column", "n_left", "n_right", "w1"]
 
@@ -84,29 +105,44 @@ def wasserstein_1d(left: DataFrame, right: DataFrame, col: str) -> DataFrame:
     term_x = (
         "abs(CAST(cum_cl AS DOUBLE) / nl - CAST(cum_cr AS DOUBLE) / nr) * gap"
     )
+    # Split every (nonnegative) term into integer + [0,1) fraction BEFORE
+    # the order-invariant decimal accumulation: the direct double ->
+    # decimal(27,12) cast of a term > ~9007 is itself double-rounded in
+    # DuckDB (value*1e12 in double first) vs single-rounded in Spark.
+    # floor(term) < 2e12 < 2^53 casts exactly to decimal(27,0) in both
+    # engines; the fraction (exact by fp-subtraction of nearby values) is
+    # ROUND12'd in pure double (identical IEEE ops, never saturates) and
+    # lands exactly in decimal(13,12). The final doubles are re-assembled
+    # via SPLIT_CAST with a fixed add order. r9 fix (ADVICE medium).
     terms = terms.selectExpr(
+        "nl", "nr", f"cast({term_x} AS double) AS term"
+    ).selectExpr(
         "nl",
         "nr",
-        f"cast({ROUND12.format(x=term_x)} AS double) AS term",
+        "cast(floor(term) AS decimal(27,0)) AS ti",
+        "cast("
+        + ROUND12.format(x="term - cast(floor(term) AS double)")
+        + " AS decimal(13,12)) AS tf",
     )
-    return terms.agg(
-        F.lit(col).alias("column"),
+    summed = terms.agg(
         F.max("nl").alias("n_left"),
         F.max("nr").alias("n_right"),
-        F.expr(
-            "cast(" + ROUND6.format(
-                x="cast(sum(cast(term AS decimal(27,12))) AS double)"
-            ) + " AS double)"
-        ).alias("w1"),
+        F.expr("sum(ti)").alias("si"),
+        F.expr("sum(tf)").alias("sf"),
+    )
+    raw = "(cast(si AS double) + " + SPLIT_CAST.format(s="sf") + ")"
+    return summed.select(
+        F.lit(col).alias("column"),
+        "n_left",
+        "n_right",
+        F.expr("cast(" + ROUND6.format(x=raw) + " AS double)").alias("w1"),
     )
 
 
 def wasserstein_1d_sql(left_sql: str, right_sql: str, col: str) -> str:
     """DuckDB mirror of :func:`wasserstein_1d` (same windows, rounding)."""
     r6, r12 = ROUND6.format, ROUND12.format
-    term = r12(
-        x="ABS(CAST(cum_cl AS DOUBLE) / nl - CAST(cum_cr AS DOUBLE) / nr) * gap"
-    )
+    term = "ABS(CAST(cum_cl AS DOUBLE) / nl - CAST(cum_cr AS DOUBLE) / nr) * gap"
     return f"""
 WITH lf AS (
   SELECT CAST({col} AS DOUBLE) AS v, COUNT(*) AS cl
@@ -133,9 +169,20 @@ tot AS (SELECT SUM(cl) AS nl, SUM(cr) AS nr FROM f),
 terms AS (
   SELECT nl, nr, CAST({term} AS DOUBLE) AS term
   FROM cum CROSS JOIN tot WHERE gap IS NOT NULL
+),
+parts AS (
+  SELECT nl, nr, CAST(floor(term) AS DECIMAL(27,0)) AS ti,
+    CAST({r12(x='term - CAST(floor(term) AS DOUBLE)')} AS DECIMAL(13,12))
+      AS tf
+  FROM terms
+),
+summed AS (
+  SELECT MAX(nl) AS n_left, MAX(nr) AS n_right,
+    SUM(ti) AS si, SUM(tf) AS sf
+  FROM parts
 )
-SELECT '{col}' AS "column", MAX(nl) AS n_left, MAX(nr) AS n_right,
-  CAST({r6(x='CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE)')} AS DOUBLE)
-    AS w1
-FROM terms
+SELECT '{col}' AS "column", n_left, n_right,
+  CAST({r6(x='(cast(si AS double) + ' + SPLIT_CAST.format(s='sf') + ')')}
+    AS DOUBLE) AS w1
+FROM summed
 """

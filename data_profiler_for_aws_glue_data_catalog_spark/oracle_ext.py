@@ -688,7 +688,7 @@ def kmeans_step_sql(
 ) -> str:
     """Mirror of operators/kmeans.kmeans_step: same assignment CTEs, then
     per-(cell, dimension) decimal-accumulated means, floor-ROUND6."""
-# NaN/Inf elements strip to NULL inside the decimal SUM only
+    # NaN/Inf elements strip to NULL inside the decimal SUM only
     # (mirrors Spark try_cast; COUNT(*) still counts the row) —
     # r8 float-specials axis
     mean = "CAST(SUM(CAST((CASE WHEN isnan(x) OR isinf(x) THEN NULL ELSE x END) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
@@ -1103,7 +1103,7 @@ def kmeans_train_sql(
     centroids, decimal per-(cell, dim) means, then centroid vectors
     rebuilt (values in dim order, left-fold norm, zero-norm dropped),
     exactly the floats the driver loop feeds back as literals."""
-# NaN/Inf elements strip to NULL inside the decimal SUM only
+    # NaN/Inf elements strip to NULL inside the decimal SUM only
     # (mirrors Spark try_cast; COUNT(*) still counts the row) —
     # r8 float-specials axis
     mean = "CAST(SUM(CAST((CASE WHEN isnan(x) OR isinf(x) THEN NULL ELSE x END) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
