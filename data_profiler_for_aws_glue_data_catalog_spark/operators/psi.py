@@ -148,38 +148,72 @@ def psi_sql(
     columns: list[str],
     bins: int = 10,
 ) -> str:
-    """DuckDB mirror: bounds via scalar subqueries over the reference."""
-    parts = []
+    """DuckDB mirror of :func:`psi`, CTE-staged like the engine plan:
+    one bounds row, one fused conditional-count pass per side, then the
+    PSI finish over plain column references.
+
+    (The first mirror embedded the bucket counts as scalar subqueries
+    INSIDE each per-column PSI sum and substituted that sum ~7x into the
+    round/classify templates; when the r8 guarded ROUND6 tripled its
+    ``{x}`` the generated SQL hit 318 KB / ~850 scalar subqueries and
+    DuckDB 1.0's planner ground for minutes. Staged, it plans in
+    milliseconds with identical arithmetic shape — the same fix the
+    engine side already had for Janino's 64 KB method limit. r9.)"""
+    bounds = []
     for c in columns:
+        i = _a(c, columns)
         x = f"CAST({c} AS DOUBLE)"
-        mn = f"(SELECT MIN({x}) FROM ref)"
-        mx = f"(SELECT MAX({x}) FROM ref)"
-        raw = f"CAST(floor((({x}) - {mn}) / (({mx} - {mn}) / {bins}) ) AS INT)"
-        b = f"least(greatest({raw}, 0), {bins - 1})"
+        bounds += [f"MIN({x}) AS mn_{i}", f"MAX({x}) AS mx_{i}"]
+
+    def counts(tag: str) -> str:
+        exprs = []
+        for c in columns:
+            i = _a(c, columns)
+            x = f"CAST({c} AS DOUBLE)"
+            exprs.append(f"count({x}) AS {tag}n_{i}")
+            raw = (
+                f"CAST(floor((({x}) - mn_{i}) / "
+                f"((mx_{i} - mn_{i}) / {bins}) ) AS INT)"
+            )
+            b = f"least(greatest({raw}, 0), {bins - 1})"
+            for k in range(bins):
+                exprs.append(
+                    f"count(CASE WHEN {x} IS NOT NULL AND {b} = {k} "
+                    f"THEN 1 END) AS {tag}c_{i}_{k}"
+                )
+        return ", ".join(exprs)
+
+    raws = []
+    for c in columns:
+        i = _a(c, columns)
         terms = []
         for k in range(bins):
-            p = (
-                f"(CAST((SELECT count(CASE WHEN {x} IS NOT NULL AND {b} = {k} THEN 1 END) FROM ref) AS DOUBLE)"
-                f" / CAST((SELECT count({x}) FROM ref) AS DOUBLE) + {EPS!r})"
-            )
-            q = (
-                f"(CAST((SELECT count(CASE WHEN {x} IS NOT NULL AND {b} = {k} THEN 1 END) FROM cur) AS DOUBLE)"
-                f" / CAST((SELECT count({x}) FROM cur) AS DOUBLE) + {EPS!r})"
-            )
+            p = f"(CAST(rc_{i}_{k} AS DOUBLE) / CAST(rn_{i} AS DOUBLE) + {EPS!r})"
+            q = f"(CAST(cc_{i}_{k} AS DOUBLE) / CAST(cn_{i} AS DOUBLE) + {EPS!r})"
             terms.append(f"(({p}) - ({q})) * ln(({p}) / ({q}))")
-        psi_expr = " + ".join(terms)
-        guard = f"{mx} IS NULL OR {mx} = {mn}"
-        psi_v = f"CASE WHEN {guard} THEN NULL ELSE {psi_expr} END"
+        raws.append(
+            f"CASE WHEN mx_{i} IS NULL OR mx_{i} = mn_{i} THEN NULL "
+            f"ELSE {' + '.join(terms)} END AS psi_raw_{i}"
+        )
+
+    parts = []
+    for c in columns:
+        i = _a(c, columns)
         cls = (
-            f"CASE WHEN ({psi_v}) IS NULL THEN 'undefined' "
-            f"WHEN ({psi_v}) < 0.1 THEN 'stable' "
-            f"WHEN ({psi_v}) < 0.25 THEN 'moderate' "
+            f"CASE WHEN psi_raw_{i} IS NULL THEN 'undefined' "
+            f"WHEN psi_raw_{i} < 0.1 THEN 'stable' "
+            f"WHEN psi_raw_{i} < 0.25 THEN 'moderate' "
             "ELSE 'shifted' END"
         )
         parts.append(
             f"SELECT '{c}' AS column, {bins} AS n_bins, "
-            f"CAST({ROUND6.format(x=psi_v)} AS DOUBLE) AS psi, "
-            f"{cls} AS drift_class"
+            f"CAST({ROUND6.format(x=f'psi_raw_{i}')} AS DOUBLE) AS psi, "
+            f"{cls} AS drift_class FROM raw"
         )
     body = "\nUNION ALL\n".join(parts)
-    return f"WITH ref AS ({reference_sql}), cur AS ({current_sql})\n{body}"
+    return f"""WITH ref AS ({reference_sql}), cur AS ({current_sql}),
+b AS (SELECT {', '.join(bounds)} FROM ref),
+rc AS (SELECT {counts('r')} FROM ref, b),
+cc AS (SELECT {counts('c')} FROM cur, b),
+raw AS (SELECT {', '.join(raws)} FROM rc, cc, b)
+{body}"""
