@@ -3161,29 +3161,42 @@ FROM (
 #   remaining dedup variants (simhash, embedding, incremental LSH,
 #   cluster resolve) and brute-force ANN. After r08 every registered
 #   query's latest driver-green row is r04 or newer; max gate age <= 4.
+#   r09 (r8 judge items 1+2): the sentinel set SHRINKS 17 -> 7 (the
+#   multi-job loops — kmeans_train, profile_lineitem_incremental — plus
+#   one rep per heavy family: full-DB profile, sketch/approx, streaming
+#   join, MinHash LSH, IVF ANN; the ten r07-era sentinels rotate like
+#   everything else now).  Head slot: file_balance_lineitem — its r8
+#   hash oracle (n_rows conservation + consistency verdict) has only
+#   local validation; its latest driver row is r6 `no_oracle`, the one
+#   query never driver-hashed.  The remaining 42 slots are the ENTIRE
+#   r04 cohort (the 42 least-recently-gated queries, all last hashed in
+#   CORRECTNESS_r04), so after r09 max driver-gate age across all 207
+#   registered queries is <= 4 rounds (r5 cohort), met exactly with
+#   1 + 7 + 42 = 50 slots.
 _GATE_PRIORITY = [
-    # --- permanent sentinels ---
-    "woe_lang_documents", "auc_documents", "dedup_eval_lsh",
-    "profile_lineitem_approx", "stream_stream_join_events",
-    "stream_dedup_exact", "profile_database_scan", "db_health_summary",
-    "profile_lineitem", "profile_lineitem_incremental",
-    "profile_lineitem_observed", "spearman_lineitem",
-    "winsorized_stats_lineitem", "equidepth_histogram_lineitem",
+    # --- head: the one query whose newest oracle has no driver row ---
+    "file_balance_lineitem",
+    # --- permanent sentinels (7) ---
+    "profile_database_scan", "profile_lineitem_approx",
+    "profile_lineitem_incremental", "stream_stream_join_events",
     "dedup_minhash_lsh", "ann_ivf_topk", "kmeans_train",
-    # --- r03 cohort remainder: last driver-hashed in CORRECTNESS_r03 ---
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q18_large_orders", "q19_disjunctive_revenue",
-    "q21_suppliers_who_kept_waiting", "q22_global_sales_opportunity",
-    "revenue_by_nation", "pagerank_event_graph", "asof_click_view",
-    "interval_join_sessions", "scd2_customer", "session_stats_events",
-    "funnel_summary_events", "funnel_times_events",
-    "cohort_retention_events", "attribution_events",
-    "stream_occurrence_index", "bm25_topk_documents",
-    "salted_join_lineitem", "bucketed_join_orders", "dedup_simhash",
-    "dedup_embedding", "dedup_incremental_lsh", "dedup_resolve_clusters",
-    "ann_cosine_topk",
+    # --- r04 cohort: all 42 queries last driver-hashed in r04 ---
+    "text_quality", "publish_metrics_parquet", "catalog_params_sink",
+    "profile_orders_typed", "multimodal_binary_profile", "token_topk",
+    "vector_norm_stats", "key_skew_lineitem", "join_size_orders_lineitem",
+    "ref_integrity_tpch", "fd_strength_orders", "transition_matrix_events",
+    "pattern_scan_documents", "word_repetition_documents",
+    "iqr_outliers_lineitem", "mad_outliers_lineitem",
+    "inclusion_matrix_tpch", "cramers_v_orders", "dedup_summary_documents",
+    "freshness_events", "duplicate_rows_lineitem",
+    "composite_uniqueness_orders", "blank_stats_documents",
+    "jsd_events_halves", "ks_events_halves", "w1_events_halves",
+    "changepoint_events", "drift_gate_events", "k_anonymity_customer",
+    "calibration_documents", "reconcile_summary_orders",
+    "feature_ranking_lineitem", "late_events", "split_leakage_documents",
+    "best_split_lineitem", "sample_per_lang_documents", "vector_dim_stats",
+    "fuzzy_join_part", "mask_customer", "ohlc_events",
+    "grouped_quantiles_lineitem", "trending_events",
 ]
 
 
