@@ -31,6 +31,7 @@ Usage:
   python scripts/fuzz_correctness.py --seed 1 --skew --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --specials --record FUZZ.json
   python scripts/fuzz_correctness.py --seed 1 --schema --layout ...  # combined
+  python scripts/fuzz_correctness.py --seed 1 --specials --skew ...  # combined
   SPARK_GRAFT_FUZZ_SRC=/root/testdata/sf0.01 ...   # mutate at 10x scale
   (content randomization at larger scale is the axis that found the
   curriculum_documents percentile-edge flip — more rows, more chances
@@ -309,11 +310,15 @@ SKEW_NULLKEY = [  # FK-ish keys safe to NULL (never PK/identity columns)
 SKEW_AMP = (16, 32, 64, 128)
 
 
-def build_skew_dir(outdir: str, seed: int) -> list[str]:
-    """Build a skew-amplified copy of SRC at ``outdir``; returns the
-    mutation manifest (recorded in FUZZ.json)."""
+def build_skew_dir(outdir: str, seed: int, src_dir: str | None = None) -> list[str]:
+    """Build a skew-amplified copy of ``src_dir`` (default SRC) at
+    ``outdir``; returns the mutation manifest (recorded in FUZZ.json).
+    ``src_dir`` lets the combined --specials --skew mode amplify hot keys
+    over ALREADY specials-injected tables — hot groups whose replicated
+    rows carry NaN/±Inf, the one axis product no single axis poses."""
     import random
 
+    src_dir = src_dir or SRC
     rng = random.Random(seed)
     # up to 3 hot targets, at most one per table
     targets: dict[str, str] = {}
@@ -333,7 +338,7 @@ def build_skew_dir(outdir: str, seed: int) -> list[str]:
     ]
     manifest: list[str] = []
     for t in tables:
-        src = f"{SRC}/{t}.parquet"
+        src = f"{src_dir}/{t}.parquet"
         cols = [
             r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
         ]
@@ -743,13 +748,14 @@ def main() -> int:
     if args.sparkconf and (args.schema or args.layout or args.skew
                            or args.specials):
         ap.error("--sparkconf cannot combine with data-mutation axes")
-    if args.skew and (args.schema or args.layout or args.specials):
-        ap.error("--skew is a standalone data axis")
+    if args.skew and (args.schema or args.layout):
+        ap.error("--skew combines only with --specials")
     if args.specials and (args.schema or args.layout):
-        ap.error("--specials is a standalone data axis")
+        ap.error("--specials combines only with --skew")
     if args.sparkconf and args.outdir:
         ap.error("--outdir is meaningless with --sparkconf (no data written)")
     mode = ("schema+layout" if args.schema and args.layout
+            else "specials+skew" if args.specials and args.skew
             else "schema" if args.schema else "layout" if args.layout
             else "conf" if args.sparkconf else "skew" if args.skew
             else "specials" if args.specials
@@ -774,6 +780,17 @@ def main() -> int:
     elif args.layout:
         manifest = build_layout_dir(outdir, args.seed)
         run_queries = args.queries
+    elif args.specials and args.skew:
+        # cross-product axis: specials injection first, then hot-key
+        # amplification of the injected tables — replicated hot groups
+        # whose rows carry NaN/±Inf, the interaction neither axis poses
+        # alone (hot NaN groupBy partitions, skewed joins with special
+        # keys' payloads, windows over amplified special runs)
+        staged = f"{outdir}-specials-stage"
+        manifest = build_specials_dir(staged, args.seed)
+        manifest += build_skew_dir(outdir, args.seed, src_dir=staged)
+        shutil.rmtree(staged)
+        run_queries = args.queries or SPECIALS_QUERIES
     elif args.skew:
         manifest = build_skew_dir(outdir, args.seed)
         run_queries = args.queries

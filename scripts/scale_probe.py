@@ -68,6 +68,13 @@ PROBE_QUERIES = [
     "sessionize_events",       # per-user session windows
     "q3_shipping_priority",    # star join orders x lineitem x customer
     "q5_local_supplier_volume",  # 6-way star join
+    # r9: the exact-percentile family — the open scale question. These
+    # top the bench because exact percentile()/rank sorts pay O(n log n)
+    # per column; this measures whether the exact path stays viable one
+    # decade up or percentile_approx must be the registered scale path.
+    "equidepth_histogram_lineitem",  # exact equi-depth bin edges
+    "spearman_lineitem",             # dense-rank both columns, corr
+    "winsorized_stats_lineitem",     # exact p05/p95 clip + moments
 ]
 
 
@@ -240,7 +247,7 @@ def main() -> None:
     big = run_probe(spark, qs, args.outdir)
 
     lines = [
-        "# SCALE — sf0.1 -> sf1 measured probe (r8)",
+        "# SCALE — sf0.1 -> sf1 measured probe (r9)",
         "",
         "10x data (key-shifted replication; fresh document shingles and",
         "embedding noise per replica — see scripts/scale_probe.py), one",
