@@ -55,7 +55,18 @@ def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     launched CONCURRENTLY by AQE) re-executes the cast+norm+dedup subtree
     otherwise.  One row per id (dedup.entity_normed): duplicate physical
     rows must not repeat inside a top-k list or fill the centroid seed
-    set.  MEMORY_AND_DISK — at 100 TB this spills like a shuffle."""
+    set.  MEMORY_AND_DISK — at 100 TB this spills like a shuffle.
+
+    FINITE VECTORS ONLY (r9, found by the specials x skew fuzz product):
+    a vector with a NaN/±Inf element has no defined cosine, and when one
+    lands in the centroid seed set it poisons every assignment — worse,
+    Spark's NaN sorts greatest under BOTH sort directions (-NaN is NaN),
+    so probe selection (ascending on the NEGATED cosine) and assignment
+    (descending argmax) disagree about the poisoned cell, silently
+    emptying top-k lists.  `_norm < Inf` excludes them identically in
+    both engines (NaN norm compares greatest in Spark and DuckDB alike);
+    kmeans/vector-stats keep their separate documented NaN-member
+    policies — this exclusion is the similarity family's only."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import entity_normed
 
     # no ensure_parallelism here: the dedup's own exchange redistributes
@@ -63,7 +74,9 @@ def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     # the materialization cost), and materialize_wide restores downstream
     # width when AQE coalesces the small agg output
     return materialize_wide(
-        entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
+        entity_normed(embs.select(id_col, vec_col), vec_col, id_col).where(
+            F.col("_norm") < F.lit(float("inf"))
+        )
     )
 
 

@@ -648,11 +648,20 @@ SELECT doc_a, doc_b, hamming FROM (
 """
 
 
-def _normed_vectors_sql(table: str, vec_col: str, id_col: str) -> str:
+def _normed_vectors_sql(
+    table: str, vec_col: str, id_col: str, finite_only: bool = False
+) -> str:
     """One row per id (entity-key contract, dedup.entity_normed parity):
     duplicate-id rows collapse to the lexicographically smallest
     (v, nrm) representative, zero vectors dropped first — same filter
-    order as the engine's with_norm -> groupBy(id).min(struct)."""
+    order as the engine's with_norm -> groupBy(id).min(struct).
+
+    ``finite_only`` mirrors similarity._normed's r9 finite-vectors
+    policy (NaN/±Inf elements give a non-finite norm; `nrm < Inf`
+    excludes them — NaN compares greatest in both engines). The
+    similarity-family oracles set it; kmeans/dedup-embedding keep their
+    own documented NaN policies and leave it off."""
+    fin = " AND nrm < CAST('Infinity' AS DOUBLE)" if finite_only else ""
     return f"""
 SELECT id, v, nrm FROM (
   SELECT id, v, nrm,
@@ -660,7 +669,7 @@ SELECT id, v, nrm FROM (
   FROM (
     SELECT {id_col} AS id, v, sqrt({dot_sql('v', 'v')}) AS nrm
     FROM (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table})
-  ) WHERE nrm > 0
+  ) WHERE nrm > 0{fin}
 ) WHERE _rn = 1
 """
 
@@ -740,7 +749,7 @@ def cosine_topk_sql(
     ids = ", ".join(str(i) for i in query_ids)
     cos = round6_sql(f"({dot_sql('q.qv', 'n.v')}) / (q.qn * n.nrm)")
     return f"""
-WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col, finite_only=True)}),
 q AS (SELECT id AS query_id, v AS qv, nrm AS qn FROM n WHERE id IN ({ids})),
 scored AS (
   SELECT q.query_id, n.id AS neighbor_id, {cos} AS cosine
@@ -768,7 +777,7 @@ def ivf_topk_sql(
     pcos = round6_sql(f"({dot_sql('q.qv', 'c.cv')}) / (q.qn * c.cn)")
     scos = round6_sql(f"({dot_sql('p.qv', 'a.v')}) / (p.qn * a.nrm)")
     return f"""
-WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col, finite_only=True)}),
 cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
 assigned AS (
   SELECT id, v, nrm, cell FROM (
@@ -1048,7 +1057,7 @@ def lsh_topk_sql(
     bpb = n_planes // n_bands
     cos = round6_sql(f"({dot_sql('nn.v', 'qq.v')}) / (nn.nrm * qq.nrm)")
     return f"""
-WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col, finite_only=True)}),
 pl AS (
   SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS pidx, v AS pv
   FROM (SELECT id, v FROM n ORDER BY id LIMIT {n_planes})),
@@ -1223,7 +1232,7 @@ def knn_join_sql(
     pcos = round6_sql(f"({dot_sql('q.qv', 'c.cv')}) / (q.qn * c.cn)")
     scos = round6_sql(f"({dot_sql('p.qv', 'a.v')}) / (p.qn * a.nrm)")
     return f"""
-WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col, finite_only=True)}),
 cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
 assigned AS (
   SELECT id, v, nrm, cell FROM (
@@ -1352,7 +1361,7 @@ def ivf_inertia_sql(
         "ELSE cos END) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(cos)"
     )
     return f"""
-WITH n AS ({_normed_vectors_sql(table, vec_col, id_col)}),
+WITH n AS ({_normed_vectors_sql(table, vec_col, id_col, finite_only=True)}),
 cents AS (SELECT id AS cell, v AS cv, nrm AS cn FROM n ORDER BY id LIMIT {n_cells}),
 assigned AS (
   SELECT id, v, nrm, cell FROM (

@@ -206,3 +206,40 @@ def test_ivf_inertia_bounds(embeddings):
     assert sum(r["n_vectors"] for r in rows) == embeddings.count()
     for r in rows:
         assert -1.0 <= r["min_cos"] <= r["mean_cos_to_centroid"] <= 1.0
+
+
+def test_nonfinite_vectors_excluded_from_similarity(spark):
+    """r9 finite-vectors policy (specials x skew fuzz find): a NaN/Inf
+    vector has no defined cosine, and as a CENTROID it poisons IVF
+    assignment asymmetrically (Spark NaN sorts greatest under both sort
+    directions, so argmax-descending and probe-ascending disagree).
+    _normed drops them: they appear as neither query, neighbor, nor
+    centroid, and top-k lists stay full-sized for the finite queries."""
+    nan = float("nan")
+    vs = _vecs(
+        spark,
+        [
+            [1, 0],        # 0: query
+            [nan, 1],      # 1: NaN vector — would be a centroid (low id)
+            [1, 0.01],     # 2: nearest finite
+            [1, 1],        # 3
+            [0, 1],        # 4
+            [float("inf"), 0],  # 5: Inf vector
+            [1, 0.5],      # 6
+        ],
+    )
+    for fn in (
+        lambda: S.cosine_topk(vs, [0, 1], k=3),
+        lambda: S.ivf_topk(vs, [0, 1], k=3, n_cells=4, n_probe=4),
+        lambda: S.lsh_topk(vs, [0, 1], k=3, n_planes=4, n_bands=2),
+    ):
+        rows = fn().collect()
+        ids = {r["neighbor_id"] for r in rows} | {r["query_id"] for r in rows}
+        assert 1 not in ids and 5 not in ids, rows
+        got_q0 = [r for r in rows if r["query_id"] == 0]
+        assert len(got_q0) == 3, rows  # full top-k from finite candidates
+    knn = S.knn_join(vs, k=2, n_cells=4, n_probe=4).collect()
+    ids = {r["neighbor_id"] for r in knn} | {r["query_id"] for r in knn}
+    assert 1 not in ids and 5 not in ids
+    inertia = S.ivf_inertia(vs, n_cells=4).collect()
+    assert all(not math.isnan(r["mean_cos_to_centroid"]) for r in inertia)
