@@ -422,8 +422,17 @@ SPECIALS_TARGETS = [  # (table, double column) injection candidates
     ("supplier", "s_acctbal"),
     ("events", "value"),
 ]
+# r9 palette extension: HUGE FINITES join the specials (the r8 masking
+# advice flagged them untested at axis level — |v| past the BIGINT-floor
+# saturation point exercises every guarded floor/ROUND template, and
+# 5e10 sits INSIDE the W1 1e12 value domain so Wasserstein's SPLIT_CAST
+# term path gets end-to-end coverage, not just its unit test). Appended
+# so list order is stable; per-seed target columns are drawn BEFORE the
+# palette sample, so existing seeds keep their targets (their drawn
+# VALUES may change — each FUZZ.json row records its own manifest).
 SPECIALS = ["'NaN'::DOUBLE", "'Infinity'::DOUBLE", "'-Infinity'::DOUBLE",
-            "-0.0::DOUBLE", "0.0::DOUBLE"]
+            "-0.0::DOUBLE", "0.0::DOUBLE",
+            "1.0e300::DOUBLE", "5.0e10::DOUBLE"]
 
 # Queries replayed under specials injection: every registered query that
 # reads c_acctbal / s_acctbal / events.value or the embedding vectors,

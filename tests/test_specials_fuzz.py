@@ -40,13 +40,15 @@ def test_specials_actually_injected(built):
             continue
         tc = m.split()[1].rstrip(":")
         t, c = tc.split(".")
-        nan, inf, negz = con.sql(
+        nan, inf, negz, huge = con.sql(
             f"SELECT COUNT(*) FILTER (WHERE isnan({c})),"
             f" COUNT(*) FILTER (WHERE abs({c}) = 'Infinity'::DOUBLE),"
-            f" COUNT(*) FILTER (WHERE {c} = 0.0 AND signbit({c}))"
+            f" COUNT(*) FILTER (WHERE {c} = 0.0 AND signbit({c})),"
+            f" COUNT(*) FILTER (WHERE abs({c}) >= 5.0e10"
+            f"   AND abs({c}) < 'Infinity'::DOUBLE)"
             f" FROM '{out}/{t}.parquet'"
         ).fetchone()
-        assert nan + inf + negz > 0, f"{t}.{c}: no specials injected"
+        assert nan + inf + negz + huge > 0, f"{t}.{c}: no specials injected"
     con.close()
 
 

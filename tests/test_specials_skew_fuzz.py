@@ -16,8 +16,9 @@ sys.path.insert(0, "/root/repo/scripts")
 import fuzz_correctness as FZ  # noqa: E402
 
 # Seed 11 gives the richest axis product: embeddings gets NaN elements
-# AND vec_id x16 amplification; events gets all four specials AND
-# user_id x128 amplification.
+# AND vec_id x16 amplification; events gets the full specials palette
+# (NaN/±Inf/±0 plus the r9 huge finites 1e300 and 5e10) AND user_id
+# x128 amplification.
 SEED = 11
 
 
@@ -70,8 +71,8 @@ def test_skew_reads_staged_not_src(built):
 
 
 def test_amplified_group_carries_specials(built):
-    """Seed 11 amplifies events.user_id x128 over a fully
-    specials-injected events.value AND embeddings.vec_id x16 over
+    """Seed 11 amplifies events.user_id x128 over a
+    full-palette-injected events.value AND embeddings.vec_id x16 over
     NaN-injected vectors: the amplified HOT GROUP itself must contain
     special rows — the hot-NaN-group shape the axis exists for."""
     staged, out, m1, m2 = built
