@@ -1721,14 +1721,17 @@ def _k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance band as the sensitive attribute."""
     from data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity import k_anonymity
 
-    # non-finite balances have no band (NULL): Spark floor(double)
-    # returns BIGINT and would silently band NaN as 0 and ±Inf as
-    # ±Long.Max (the oracle's BIGINT cast raises). r8 specials-axis find.
+    # non-finite AND astronomically-huge balances have no band (NULL):
+    # Spark floor(double) returns BIGINT and would silently band NaN as
+    # 0, ±Inf as ±Long.Max, and any |bal/1000| >= Long.Max (e.g. 1e300,
+    # r9 huge-finite palette) to ±Long.Max while the oracle's BIGINT
+    # cast raises. r8 specials-axis find, widened like masking's bucket
+    # guard in r9.
     c = _t(spark, sf_dir, "customer").withColumn(
         "bal_band",
         F.expr(
             "CASE WHEN isnan(cast(c_acctbal AS double)) "
-            "OR abs(cast(c_acctbal AS double)) = double('Infinity') "
+            "OR abs(cast(c_acctbal AS double) / 1000) >= 9.0e18 "
             "THEN NULL ELSE floor(c_acctbal / 1000) END"
         ),
     )
@@ -2905,7 +2908,7 @@ FROM (
             "data_profiler_for_aws_glue_data_catalog_spark.operators.anonymity", fromlist=["x"]
         ).k_anonymity_sql(
             "(SELECT *, CAST(floor(CASE WHEN isnan(CAST(c_acctbal AS DOUBLE))"
-            " OR abs(CAST(c_acctbal AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
+            " OR abs(CAST(c_acctbal AS DOUBLE) / 1000) >= 9.0e18"
             " THEN NULL ELSE c_acctbal END / 1000) AS BIGINT) AS bal_band"
             " FROM customer) _c",
             ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2,

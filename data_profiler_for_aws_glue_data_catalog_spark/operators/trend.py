@@ -42,15 +42,16 @@ def trend_slopes(
     value_col: str = "value",
 ) -> DataFrame:
     """(entity, n_points, slope_per_day, intercept) per entity."""
-    # non-finite observations are excluded like NULLs: the 6-dp integer
-    # quantization cannot represent them (Spark floor(double)->BIGINT
-    # would silently saturate NaN to 0 and ±Inf to ±Long.Max; the DuckDB
-    # mirror's BIGINT cast raises) — a regression over NaN/Inf points is
-    # undefined anyway. Found by the r8 float-specials fuzz axis.
+    # non-finite observations AND values beyond the 6-dp integer domain
+    # (|v| >= 9e12, where yi = v*1e6 leaves BIGINT) are excluded like
+    # NULLs: the quantization cannot represent them (Spark
+    # floor(double)->BIGINT would silently saturate NaN to 0, ±Inf to
+    # ±Long.Max, and 1e300 to Long.Max; the DuckDB mirror's BIGINT cast
+    # raises) — a regression over such points is undefined anyway.
+    # Found by the r8 float-specials axis, widened to huge finites by
+    # the r9 palette extension; the bound matches the ROUND6 guard's.
     vd = f"cast(`{value_col}` AS double)"
-    finite = F.expr(
-        f"NOT (isnan({vd}) OR abs({vd}) = double('Infinity'))"
-    )
+    finite = F.expr(f"NOT (isnan({vd}) OR abs({vd}) >= 9.0e12)")
     base = df.where(
         F.col(entity_col).isNotNull()
         & F.col(ts_col).isNotNull()
@@ -120,7 +121,7 @@ WITH base AS (
   WHERE {entity_col} IS NOT NULL AND {ts_col} IS NOT NULL
     AND {value_col} IS NOT NULL
     AND NOT (isnan(CAST({value_col} AS DOUBLE))
-             OR abs(CAST({value_col} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))
+             OR abs(CAST({value_col} AS DOUBLE)) >= 9.0e12)
 ),
 origins AS (SELECT entity, MIN(xs) AS x0 FROM base GROUP BY entity),
 centered AS (

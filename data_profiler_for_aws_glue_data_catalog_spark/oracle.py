@@ -240,21 +240,28 @@ def _stddev_sql(c: str) -> str:
         f"CASE WHEN COUNT({c}) > 0 THEN "
         f"SQRT(GREATEST(({sx2} - ({sx} * {sx}) / {n}) / {n}, 0.0)) END"
     )
-    # Fallback parity on float specials: Spark stddev_pop yields NaN when
-    # any NaN/±Inf is present, DuckDB STDDEV_POP raises Out of Range —
-    # detect specials from the same MAX aggregates and emit NaN directly
-    # (finite out-of-domain values keep the STDDEV_POP fallback). The
-    # STDDEV_POP *argument* strips specials to NULL: a CASE between
+    # Fallback parity on float specials AND huge finites: Spark
+    # stddev_pop yields NaN when any NaN/±Inf is present OR when the
+    # squared-moment computation overflows double (measured: [1e155, 5]
+    # -> NaN), while DuckDB STDDEV_POP raises Out of Range in both
+    # regimes — detect from the same MAX aggregates and emit NaN
+    # directly (finite in-range out-of-domain values keep the
+    # STDDEV_POP fallback). 1e154 ~ sqrt(DBL_MAX): above it the true
+    # variance itself exceeds double range, so NaN is the only correct
+    # answer in any engine; the +-2x boundary band around it (where
+    # overflow depends on the mean/count) is outside the fuzz palette
+    # by contract, like dec_domain (SURVEY §5). The STDDEV_POP
+    # *argument* strips the same values to NULL: a CASE between
     # aggregates still EVALUATES both branches, so the aggregate itself
-    # must never see a special (its value is only used when none exist).
+    # must never see one (its value is only used when none exist).
     cf = (
         f"CASE WHEN isnan(CAST({c} AS DOUBLE)) "
-        f"OR ABS(CAST({c} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+        f"OR ABS(CAST({c} AS DOUBLE)) >= 1.0e154 "
         f"THEN NULL ELSE CAST({c} AS DOUBLE) END"
     )
     fb = (
         f"CASE WHEN isnan(MAX(CAST({c} AS DOUBLE))) "
-        f"OR MAX(ABS(CAST({c} AS DOUBLE))) = CAST('Infinity' AS DOUBLE) "
+        f"OR MAX(ABS(CAST({c} AS DOUBLE))) >= 1.0e154 "
         f"THEN CAST('NaN' AS DOUBLE) "
         f"ELSE STDDEV_POP({cf}) END"
     )
