@@ -134,6 +134,7 @@ def jaccard_near_duplicates(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs via shingle inverted index.
 
@@ -144,10 +145,18 @@ def jaccard_near_duplicates(
     formula |A∩B| / (|A| + |B| - |A∩B|). Set semantics (shingles deduped
     per doc). Denominators use the original set sizes even when postings
     were capped.
+
+    ``shingle_base``: a precomputed ``_shingle_sets(docs, ...)`` relation —
+    compositions running several shingle consumers over the SAME corpus
+    (dedup_eval) pass it so the tokenize/shingle/checkpoint pass runs once
+    instead of once per consumer; values are identical either way.
     """
-    inv = _shingle_sets(docs, text_col, id_col, n).select(
-        "id", "sz", F.explode("sh").alias("shingle")
+    base = (
+        shingle_base
+        if shingle_base is not None
+        else _shingle_sets(docs, text_col, id_col, n)
     )
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         hot = hot_shingles(inv, max_shingle_df).select("shingle")
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
@@ -179,6 +188,7 @@ def minhash_lsh_near_duplicates(
     n_bands: int = 6,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
@@ -201,7 +211,12 @@ def minhash_lsh_near_duplicates(
     assert n_hashes == n_bands * rows_per_band
     # the persisted shingle-set frame feeds the signature pass AND the
     # verify join (twice); everything reads the cache, not the corpus.
-    base = _shingle_sets(docs, text_col, id_col, n)
+    # shingle_base: see jaccard_near_duplicates — compositions share one.
+    base = (
+        shingle_base
+        if shingle_base is not None
+        else _shingle_sets(docs, text_col, id_col, n)
+    )
     # 32-bit per-shingle hash for the affine MinHash family = the low 32
     # bits of the 60-bit shingle hash (independent md5 bits) — no extra md5.
     h32 = F.pmod(F.col("h"), F.lit(X.M32).cast("bigint"))
@@ -475,12 +490,18 @@ def dedup_eval(
     full-outer join on the (doc_a, doc_b) key + one global count row.
     FP/FN come from banding misses and the hot-shingle cap asymmetry
     (the ground truth caps postings; LSH verify intersects full sets).
+
+    r9: truth and pred consume ONE shared shingle-set relation — they
+    previously each built (tokenize + md5-shingle + checkpoint) their own
+    identical copy, doubling the dominant map pass. Same values: the
+    shared relation is exactly what either would have computed.
     """
+    base = _shingle_sets(docs, text_col, id_col, n)
     truth = jaccard_near_duplicates(
-        docs, text_col, id_col, n, threshold
+        docs, text_col, id_col, n, threshold, shingle_base=base
     ).select("doc_a", "doc_b", F.lit(1).alias("_t"))
     pred = minhash_lsh_near_duplicates(
-        docs, text_col, id_col, n, threshold=threshold
+        docs, text_col, id_col, n, threshold=threshold, shingle_base=base
     ).select("doc_a", "doc_b", F.lit(1).alias("_p"))
     j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
     # Engine-stable 6-dp half-up ratio: round6(tp/d) computed entirely in

@@ -62,34 +62,8 @@ def _remote_sizes(df: DataFrame, files: list[str]) -> dict[str, int] | None:
         return None
 
 
-def _estimate_scan_splits(df: DataFrame) -> int | None:
-    """Planning-free estimate of ``df``'s scan parallelism.
-
-    ``inputFiles()`` walks the ANALYZED plan's file indexes — a driver-side
-    listing, no physical planning, no job, and (unlike ``df.rdd``) no
-    pinning of the pre-AQE partition count.  From the file list:
-
-      - remote store (s3://, hdfs://, ...): stat the files through the
-        Hadoop FileSystem on the driver (the same listing the scan's file
-        index already performed) and apply the identical byte-range split
-        math — so a 4x1GB s3:// layout correctly estimates ~32 splits and
-        skips the repartition.  If the JVM stat fails (no FS impl, auth),
-        fall back to the raw file count: a lower bound on splits, which at
-        100 TB (thousands of files) still no-ops the guard.
-      - local parquet: effective parallelism is bounded BOTH by Spark's
-        byte-range splits (ceil(size / maxSplitBytes), the
-        FilePartition formula with openCostInBytes packing) AND by the
-        footer's row-group count — a byte range with no row-group midpoint
-        yields an empty task.  min of the two, summed over files.
-      - local non-parquet: byte-range splits only (.gz et al are
-        unsplittable: 1).
-
-    Returns None when there are no input files (in-memory LocalRelation,
-    a view over literals) — the caller treats that as "assume narrow".
-    An unparseable size conf (Spark would reject it at scan time anyway)
-    also returns None, degrading to the repartition fallback rather than
-    crashing the query.
-    """
+def _estimate_scan(df: DataFrame) -> tuple[int, int] | None:
+    """(estimated scan splits, total input bytes) — see _estimate_scan_splits."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -122,16 +96,19 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         # by itself — and statting thousands of objects would be
         # thousands of driver RPCs per guard call at 100 TB.
         if len(files) > 64:
-            return len(files)
+            # splits >= file count; bytes unknown but irrelevant (the
+            # split count alone already no-ops every guard)
+            return len(files), 1 << 50
         sizes = _remote_sizes(df, files)
         if sizes is None:
-            return len(files)
+            return len(files), 1 << 50
     else:
         try:
             sizes = {p: os.path.getsize(p) for p in paths}
         except OSError:
-            return len(paths)
-    total = sum(sizes.values()) + open_cost * len(sizes)
+            return len(paths), 1 << 50
+    raw_bytes = sum(sizes.values())
+    total = raw_bytes + open_cost * len(sizes)
     max_split = min(max_part, max(open_cost, total // max(parallelism, 1) or 1))
     splits = 0
     for p, size in sizes.items():
@@ -148,7 +125,39 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
             except Exception:
                 pass
         splits += byte_splits
-    return splits
+    return splits, raw_bytes
+
+
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Planning-free estimate of ``df``'s scan parallelism.
+
+    ``inputFiles()`` walks the ANALYZED plan's file indexes — a driver-side
+    listing, no physical planning, no job, and (unlike ``df.rdd``) no
+    pinning of the pre-AQE partition count.  From the file list:
+
+      - remote store (s3://, hdfs://, ...): stat the files through the
+        Hadoop FileSystem on the driver (the same listing the scan's file
+        index already performed) and apply the identical byte-range split
+        math — so a 4x1GB s3:// layout correctly estimates ~32 splits and
+        skips the repartition.  If the JVM stat fails (no FS impl, auth),
+        fall back to the raw file count: a lower bound on splits, which at
+        100 TB (thousands of files) still no-ops the guard.
+      - local parquet: effective parallelism is bounded BOTH by Spark's
+        byte-range splits (ceil(size / maxSplitBytes), the
+        FilePartition formula with openCostInBytes packing) AND by the
+        footer's row-group count — a byte range with no row-group midpoint
+        yields an empty task.  min of the two, summed over files.
+      - local non-parquet: byte-range splits only (.gz et al are
+        unsplittable: 1).
+
+    Returns None when there are no input files (in-memory LocalRelation,
+    a view over literals) — the caller treats that as "assume narrow".
+    An unparseable size conf (Spark would reject it at scan time anyway)
+    also returns None, degrading to the repartition fallback rather than
+    crashing the query.
+    """
+    est = _estimate_scan(df)
+    return est[0] if est is not None else None
 
 
 def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
@@ -172,6 +181,56 @@ def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
     target = sc.defaultParallelism * multiple
     est = _estimate_scan_splits(df)
     if est is None or est < target:
+        return df.repartition(target)
+    return df
+
+
+# Cost floor for ensure_compute_parallelism: below this many input bytes the
+# serial stage is cheap enough that the round-robin exchange (its tasks, its
+# write+fetch, its barrier) costs more than it recovers. 2 MiB ~= a few
+# hundred-k narrow rows — measured crossover for the fused-agg/percentile
+# family on local[32] (r9). Env-overridable for other hosts; at 100 TB the
+# byte threshold is irrelevant because natural splits no-op the guard first.
+COMPUTE_GUARD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_COMPUTE_GUARD_MIN_BYTES", 2 << 20)
+)
+
+
+def ensure_compute_parallelism(
+    df: DataFrame, multiple: int = 1, min_bytes: int | None = None
+) -> DataFrame:
+    """``ensure_parallelism`` with a COST THRESHOLD — for aggregation-heavy
+    operators (fused profile aggs, exact percentiles, rank/CDF transforms)
+    whose input may be a split-starved scan (one parquet row group caps the
+    whole stage at one task no matter the cluster size).
+
+    Differences from :func:`ensure_parallelism` (the dedup-family guard):
+
+    - Only repartitions when the scan is ALSO at least ``min_bytes`` of
+      input (default ``COMPUTE_GUARD_MIN_BYTES``): tiny tables (dimension
+      tables, a 25-row nation file) run their serial agg in well under the
+      scheduling cost of 32 shuffle tasks, and a database-wide profile gets
+      its parallelism from running many such table chains concurrently —
+      repartitioning every small table measured ~6x SLOWER for the
+      10-table scan (scan_metrics.py scale note, r5).
+    - An in-memory source (no input files) is returned UNCHANGED: a
+      LocalRelation is literal-sized here (test frames, collected stats),
+      never the data-sized case, and its size cannot be compared against
+      the byte threshold anyway.
+
+    At 100 TB every table has thousands of natural splits, so this whole
+    guard is a planning-time no-op — it exists to make scan parallelism
+    scale-ADAPTIVE instead of assuming either the local or the cluster
+    shape (optimization guide §2).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiple
+    est = _estimate_scan(df)
+    if est is None:
+        return df
+    splits, nbytes = est
+    floor = COMPUTE_GUARD_MIN_BYTES if min_bytes is None else min_bytes
+    if splits < target and nbytes >= floor:
         return df.repartition(target)
     return df
 
