@@ -348,11 +348,48 @@ def round_over_round(timings: dict, prev_queries: dict) -> dict:
     }
 
 
+def _forkless_fs_confs() -> dict:
+    """Bind the fork-free local filesystem (java/forklessfs) when its jar is
+    present, building it on first use if a JDK is available.
+
+    Motivation (r9, measured): without libhadoop.so, Hadoop's
+    RawLocalFileSystem shells out (fork/exec of /bin/chmod, /bin/readlink)
+    on every checkpoint file create/mkdir/rename. One stream-stream join
+    query forked ~11,500 subprocesses costing ~90 s of process-tree CPU —
+    invisible in stage metrics (charged to the JVM's process-reaper thread).
+    The shim applies identical permission bits via java.nio. Scope: only the
+    file:// scheme; on a real cluster (HDFS/S3 checkpoints) it binds the
+    same local scratch scheme and is otherwise inert.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    jar = os.path.join(here, "jars", "forkless-localfs.jar")
+    if not os.path.exists(jar):
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["sh", os.path.join(here, "java", "build.sh")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return {}
+    if not os.path.exists(jar):
+        return {}
+    return {
+        "spark.driver.extraClassPath": jar,
+        "spark.hadoop.fs.file.impl": "forklessfs.ForklessLocalFileSystem",
+        "spark.hadoop.fs.AbstractFileSystem.file.impl": "forklessfs.ForklessLocalFs",
+    }
+
+
 def build_spark():
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder
+    for k, v in _forkless_fs_confs().items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.master(f"local[{CPUS}]")
+        builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

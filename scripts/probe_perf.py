@@ -27,10 +27,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def build_spark():
+    import bench
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder
+    for k, v in bench._forkless_fs_confs().items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.master(f"local[{CPUS}]")
+        builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
