@@ -43,6 +43,13 @@ def duplicate_clusters(
 ) -> DataFrame:
     """(id, cluster_id) for every id in any pair; cluster_id = min id of
     the connected component."""
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import materialize
+
+    # r9: the pair relation is typically an expensive LSH/verify pipeline,
+    # and the symmetrizing union below references it TWICE — materialize
+    # once so fwd+rev read stored blocks instead of re-running the
+    # candidate join per branch (same rows either way)
+    pairs = materialize(pairs.select(id_a, id_b))
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
