@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import signal
 import sys
 import time
 
@@ -349,37 +350,14 @@ def round_over_round(timings: dict, prev_queries: dict) -> dict:
 
 
 def _forkless_fs_confs() -> dict:
-    """Bind the fork-free local filesystem (java/forklessfs) when its jar is
-    present, building it on first use if a JDK is available.
+    """Engine conf (r10: moved into the package so the CLI session recipe
+    and any user session apply it too — plans/session.py has the full
+    measured rationale); the bench merely applies the engine's recipe."""
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.session import (
+        forkless_fs_confs,
+    )
 
-    Motivation (r9, measured): without libhadoop.so, Hadoop's
-    RawLocalFileSystem shells out (fork/exec of /bin/chmod, /bin/readlink)
-    on every checkpoint file create/mkdir/rename. One stream-stream join
-    query forked ~11,500 subprocesses costing ~90 s of process-tree CPU —
-    invisible in stage metrics (charged to the JVM's process-reaper thread).
-    The shim applies identical permission bits via java.nio. Scope: only the
-    file:// scheme; on a real cluster (HDFS/S3 checkpoints) it binds the
-    same local scratch scheme and is otherwise inert.
-    """
-    here = os.path.dirname(os.path.abspath(__file__))
-    jar = os.path.join(here, "jars", "forkless-localfs.jar")
-    if not os.path.exists(jar):
-        import subprocess
-
-        try:
-            subprocess.run(
-                ["sh", os.path.join(here, "java", "build.sh")],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            return {}
-    if not os.path.exists(jar):
-        return {}
-    return {
-        "spark.driver.extraClassPath": jar,
-        "spark.hadoop.fs.file.impl": "forklessfs.ForklessLocalFileSystem",
-        "spark.hadoop.fs.AbstractFileSystem.file.impl": "forklessfs.ForklessLocalFs",
-    }
+    return forkless_fs_confs()
 
 
 def build_spark():
@@ -445,15 +423,61 @@ def main() -> None:
         mid = len(v) // 2
         return round(v[mid] if len(v) % 2 else (v[mid - 1] + v[mid]) / 2, 3)
 
+    # Timeout-proofing (r10, verdict item 2): every completed sample is
+    # appended to BENCH_PROGRESS.jsonl the moment it exists, and SIGTERM/
+    # SIGINT finalize from the samples collected so far instead of dying
+    # with nothing — a killed bench still leaves per-query ground truth
+    # (r9's rc=124 produced parsed:null at both core counts; never again).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prog = open(os.path.join(here, "BENCH_PROGRESS.jsonl"), "w", buffering=1)
+
+    class _Interrupted(Exception):
+        pass
+
+    def _on_signal(signum, frame):
+        raise _Interrupted(signum)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     samples: dict[str, list[tuple[float, float]]] = {}
-    for _rep in range(3):
-        for name in names:
-            if name in qs:
-                samples.setdefault(name, []).append(run_one(name))
-    for name, s in samples.items():
-        walls = [w for w, _ in s]
-        if max(walls) > 3 * min(walls):  # stall may have hit 2 of 3 passes
-            s.append(run_one(name))
+    partial = False
+    err: Exception | None = None
+
+    def _record(name: str, rep: int) -> None:
+        w, c = run_one(name)
+        samples.setdefault(name, []).append((w, c))
+        prog.write(json.dumps({"q": name, "rep": rep, "wall": w, "cpu": c}) + "\n")
+
+    try:
+        for _rep in range(3):
+            for name in names:
+                if name in qs:
+                    _record(name, _rep)
+        # stall guard: a host stall can hit 2 of 3 passes — one extra
+        # sample bounds the median. CAPPED (r10): at most 12 extras per
+        # run, worst spreads first, so a many-small-jobs engine shape
+        # can never multiply the suite length unboundedly.
+        stalled = sorted(
+            (
+                (max(w for w, _ in s) / max(min(w for w, _ in s), 1e-9), n)
+                for n, s in samples.items()
+            ),
+            reverse=True,
+        )
+        for spread_ratio, name in stalled[:12]:
+            if spread_ratio > 3:
+                _record(name, 3)
+    except _Interrupted:
+        partial = True
+    except Exception as exc:  # noqa: BLE001 — a group-kill (the driver's
+        # timeout signals the whole process group, so the JVM dies with
+        # us) surfaces as a Py4JError racing our own SIGTERM handler;
+        # finalize from collected samples either way, then re-raise real
+        # errors after the artifacts exist (see end of main)
+        partial = True
+        err = exc
+    samples = {n: s for n, s in samples.items() if s}
     timings = {n: median([w for w, _ in s]) for n, s in samples.items()}
     cpu = {n: median([c for _, c in s]) for n, s in samples.items()}
 
@@ -537,7 +561,11 @@ def main() -> None:
         rr["prev_detail"] = os.path.basename(prev_path)
     protocol = {
         "samples_per_query": "median of 3 (wall AND process-tree CPU); "
-        "+1 sample when wall spread > 3x (stall guard)",
+        "+1 sample when wall spread > 3x (stall guard, capped at 12 "
+        "extras per run since r10)",
+        "timeout_proofing": "every sample appends to BENCH_PROGRESS.jsonl "
+        "as it completes; SIGTERM/SIGINT finalize partial medians "
+        "(partial:true) instead of dying with no output",
         "expected_noise_band": "wall spread up to ~3x on this host; CPU "
         "is the quiet metric — round_over_round gates on it",
         "cpu_spread_note": "spread (wall AND cpu) is max/min over the "
@@ -560,6 +588,8 @@ def main() -> None:
         "excluded": EXCLUDED,
         "sf": sf_val,
         "round": cur_round,
+        "partial": partial,
+        "partial_error": repr(err)[:300] if err is not None else None,
         "round_over_round": rr,
         # marks the full-map line so consumers scanning stdout for the
         # first matching metric can skip it (the canonical short summary
@@ -579,7 +609,7 @@ def main() -> None:
     with open(os.path.join(here, f"BENCH_DETAIL_r{cur_round:02d}.json"),
               "w") as f:
         json.dump(full, f)
-    print(json.dumps(full))
+    print(json.dumps(full), flush=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
@@ -599,6 +629,7 @@ def main() -> None:
                 "protocol": protocol,
                 "sf": sf_val,
                 "round": cur_round,
+                "partial": partial,
                 # r-over-r summary (full per-query ratio table in the
                 # archived detail file): median ~= 1.0 is "within noise"
                 "round_over_round": (
@@ -610,8 +641,13 @@ def main() -> None:
                 ),
                 "detail_file": f"BENCH_DETAIL_r{cur_round:02d}.json",
             }
-        )
+        ),
+        flush=True,
     )
+    if err is not None:
+        # real (non-signal) failure: artifacts and partial JSON are on
+        # disk/stdout above; surface the error honestly via exit code
+        raise err
 
 
 if __name__ == "__main__":

@@ -96,11 +96,19 @@ def run(argv: list[str] | None = None, spark=None, glue_client=None) -> int:
     if spark is None:
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.appName("data_profiler_for_aws_glue_data_catalog_spark")
-            .enableHiveSupport()
-            .getOrCreate()
+        from data_profiler_for_aws_glue_data_catalog_spark.plans.session import (
+            forkless_fs_confs,
         )
+
+        builder = SparkSession.builder.appName(
+            "data_profiler_for_aws_glue_data_catalog_spark"
+        )
+        # engine perf contract, not a harness knob: local checkpoint/sink
+        # traffic must not fork a subprocess per file (plans/session.py);
+        # {} when the jar is absent — behavior identical, only slower
+        for k, v in forkless_fs_confs().items():
+            builder = builder.config(k, v)
+        spark = builder.enableHiveSupport().getOrCreate()
 
     from data_profiler_for_aws_glue_data_catalog_spark.operators.profile import (
         list_catalog_tables,

@@ -331,31 +331,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """``dot`` for vectors of a KNOWN dimension, unrolled so whole-stage
-    codegen applies (r9, guide §1.2 "per-task work").
-
-    The higher-order-function form is a CodegenFallback evaluated
-    interpreted per element with a fresh zipped array allocated per pair —
-    the dominant per-row cost of every candidate-scoring kernel. The
-    unrolled sum ``((0.0 + a1*b1) + a2*b2) + ...`` executes the IDENTICAL
-    IEEE operation sequence (same left-fold order, same 0.0 seed, so the
-    same -0.0/NaN/Inf/NULL propagation — Catalyst never reassociates
-    double adds), only compiled instead of interpreted.
-
-    Rows whose vectors do not match ``dim`` take the fold path unchanged
-    (zip_with pads the shorter side with NULL -> NULL result; the size
-    guard reproduces exactly that by delegating), and guarantee element_at
-    never sees an out-of-bounds index under ANSI mode.
-    """
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(
-        dot(a, b)
-    )
-
-
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Adds _v (array<double>) and _norm columns; drops zero vectors."""
     out = df.withColumn("_v", _as_double_vec(F.col(vec_col)))
@@ -394,11 +369,8 @@ def entity_normed(
     )
 
 
-def _pair_cosine(
-    va: Column, na: Column, vb: Column, nb: Column, dim: int | None = None
-) -> Column:
-    d = dot(va, vb) if dim is None else dot_fixed(va, vb, dim)
-    return X.round6(d / (na * nb))
+def _pair_cosine(va: Column, na: Column, vb: Column, nb: Column) -> Column:
+    return X.round6(dot(va, vb) / (na * nb))
 
 
 def embedding_near_duplicates(
@@ -435,21 +407,14 @@ def embedding_near_duplicates(
     e = materialize_wide(
         entity_normed(embs.select(id_col, vec_col), vec_col, id_col)
     )
+    cos = _pair_cosine(
+        F.col("a._v"), F.col("a._norm"), F.col("b._v"), F.col("b._norm")
+    )
     if n_cells is None:
-        cos = _pair_cosine(
-            F.col("a._v"), F.col("a._norm"), F.col("b._v"), F.col("b._norm")
-        )
         a, b = e.alias("a"), e.alias("b")
         joined = a.join(b, F.col("a.id") < F.col("b.id"))
     else:
-        from data_profiler_for_aws_glue_data_catalog_spark.operators.similarity import _dim_of
-
         cents = collect_centroids(e, n_cells)
-        # dim from the collected centroids -> codegen'd pair kernel (r9)
-        cos = _pair_cosine(
-            F.col("a._v"), F.col("a._norm"), F.col("b._v"), F.col("b._norm"),
-            _dim_of(cents),
-        )
         assigned = assign_cells(e, cents)
         a, b = assigned.alias("a"), assigned.alias("b")
         joined = a.join(

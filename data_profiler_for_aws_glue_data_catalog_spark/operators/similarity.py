@@ -39,29 +39,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.functions import text as X
-from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot, dot_fixed
+from data_profiler_for_aws_glue_data_catalog_spark.operators.dedup import dot
 from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
     materialize_wide,
 )
 
 
-def _cos(
-    va: Column, na: Column, vb: Column, nb: Column, dim: int | None = None
-) -> Column:
-    # dim (when statically known, e.g. from collected centroids) switches
-    # the kernel to the codegen'd unrolled dot — bit-identical values,
-    # interpreted-HOF cost removed (r9; dedup.dot_fixed)
-    d = dot(va, vb) if dim is None else dot_fixed(va, vb, dim)
-    return X.round6(d / (na * nb))
-
-
-def _dim_of(cents: list[tuple[int, list[float], float]]) -> int | None:
-    """Static vector dimension implied by a collected centroid/plane list
-    (None when empty or ragged — kernels then keep the generic fold)."""
-    if not cents:
-        return None
-    dims = {len(vec) for _, vec, _ in cents}
-    return dims.pop() if len(dims) == 1 else None
+def _cos(va: Column, na: Column, vb: Column, nb: Column) -> Column:
+    return X.round6(dot(va, vb) / (na * nb))
 
 
 def _normed(embs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -140,39 +125,13 @@ def assign_cells(
     lexicographic, so max picks highest cosine, then (via the negation)
     the LOWEST cell id among ties. No exchange anywhere in this plan.
     """
-    # explicit per-centroid struct array (NOT a transform over the literal
-    # array): a higher-order lambda is evaluated interpreted per element,
-    # while this whole argmax — n_cells unrolled dot products — compiles
-    # into whole-stage codegen (r9). Values identical: same expressions,
-    # same struct ordering. Empty centroid list keeps the typed-empty
-    # array path (same NULL-cell degrade as before).
-    dim = _dim_of(cents)
-    if not cents:
-        scored = _centroid_array(cents)  # typed empty array
-        best = F.array_max(
-            F.transform(
-                scored,
-                lambda c: F.struct(
-                    _cos(F.col("_v"), F.col("_norm"), c["cv"], c["cn"]).alias("cos"),
-                    (-c["cell"]).alias("negcell"),
-                ),
-            )
-        )
-        return e.withColumn("cell", -best["negcell"])
-    scored = F.array(
-        *[
-            F.struct(
-                _cos(
-                    F.col("_v"),
-                    F.col("_norm"),
-                    F.array(*[F.lit(x) for x in vec]),
-                    F.lit(n).cast("double"),
-                    dim,
-                ).alias("cos"),
-                F.lit(-cid).cast("bigint").alias("negcell"),
-            )
-            for cid, vec, n in cents
-        ]
+    carr = _centroid_array(cents)
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            _cos(F.col("_v"), F.col("_norm"), c["cv"], c["cn"]).alias("cos"),
+            (-c["cell"]).alias("negcell"),
+        ),
     )
     best = F.array_max(scored)
     return e.withColumn("cell", -best["negcell"])
@@ -186,35 +145,14 @@ def probe_cells(
     Sort key struct(-cosine, cell) ascending == cosine DESC, cell ASC —
     the same deterministic order the oracle's row_number uses.
     """
-    # explicit struct array for the same codegen reason as assign_cells
-    dim = _dim_of(cents)
-    if not cents:
-        carr = _centroid_array(cents)
-        scored = F.transform(
-            carr,
-            lambda c: F.struct(
-                (-_cos(F.col("_qv"), F.col("_qn"), c["cv"], c["cn"])).alias("negcos"),
-                c["cell"].alias("cell"),
-            ),
-        )
-    else:
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        -_cos(
-                            F.col("_qv"),
-                            F.col("_qn"),
-                            F.array(*[F.lit(x) for x in vec]),
-                            F.lit(n).cast("double"),
-                            dim,
-                        )
-                    ).alias("negcos"),
-                    F.lit(cid).cast("bigint").alias("cell"),
-                )
-                for cid, vec, n in cents
-            ]
-        )
+    carr = _centroid_array(cents)
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            (-_cos(F.col("_qv"), F.col("_qn"), c["cv"], c["cn"])).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    )
     probes = F.slice(F.array_sort(scored), 1, n_probe)
     return q.select(
         "query_id",
@@ -253,12 +191,6 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank 1..k).
     """
     e = _normed(embs, vec_col, id_col)
-    # static-dim probe: one row off the already-checkpointed frame (a
-    # sub-100ms metadata-sized job) buys the codegen'd kernel for the
-    # whole O(n x queries) scoring pass; ragged/empty data degrades to
-    # the generic fold via dot_fixed's size guard / dim=None
-    first = e.select(F.size(F.col("_v")).alias("d")).first()
-    dim = int(first["d"]) if first is not None else None
     q = e.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("_v").alias("_qv"),
@@ -270,9 +202,9 @@ def cosine_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _cos(
-                F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm"), dim
-            ).alias("cosine"),
+            _cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias(
+                "cosine"
+            ),
         )
     )
     return _ranked_topk(scored, k)
@@ -295,9 +227,9 @@ def _band_tokens(planes: list[tuple[int, list[float], float]], n_bands: int) -> 
         for j in range(bpb):
             vec = planes[b * bpb + j][1]
             lit = F.array(*[F.lit(x) for x in vec])
-            bit = F.when(
-                dot_fixed(F.col("_v"), lit, len(vec)) >= 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
+            bit = F.when(dot(F.col("_v"), lit) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
             val = bit if val is None else val + bit
         toks.append((val + F.lit(b * (1 << bpb))).cast("int"))
     return F.array(*toks)
@@ -342,13 +274,9 @@ def lsh_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _cos(
-                F.col("_qv"),
-                F.col("_qn"),
-                F.col("_v"),
-                F.col("_norm"),
-                _dim_of(planes),
-            ).alias("cosine"),
+            _cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias(
+                "cosine"
+            ),
         )
     )
     return _ranked_topk(scored, k)
@@ -405,13 +333,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _cos(
-                F.col("_qv"),
-                F.col("_qn"),
-                F.col("_v"),
-                F.col("_norm"),
-                _dim_of(cents),
-            ).alias("cosine"),
+            _cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias(
+                "cosine"
+            ),
         )
     )
     return _ranked_topk(scored, k)
@@ -457,13 +381,9 @@ def knn_join(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _cos(
-                F.col("_qv"),
-                F.col("_qn"),
-                F.col("_v"),
-                F.col("_norm"),
-                _dim_of(cents),
-            ).alias("cosine"),
+            _cos(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_norm")).alias(
+                "cosine"
+            ),
         )
     )
     return _ranked_topk(scored, k)
@@ -538,29 +458,11 @@ def ivf_inertia(
     e = _normed(embs, vec_col, id_col)
     cents = collect_centroids(e, n_cells)
     assigned = assign_cells(e, cents)
-    # chained CASE over the (small) cell list: each row evaluates exactly
-    # its own centroid's unrolled codegen'd cosine; the previous
-    # filter-the-literal-array pick was an interpreted HOF per row (r9)
-    dim = _dim_of(cents)
-    cos_own: Column | None = None
-    for cid, vec, n in cents:
-        branch = _cos(
-            F.col("_v"),
-            F.col("_norm"),
-            F.array(*[F.lit(x) for x in vec]),
-            F.lit(n).cast("double"),
-            dim,
-        )
-        cos_own = (
-            F.when(F.col("cell") == F.lit(cid), branch)
-            if cos_own is None
-            else cos_own.when(F.col("cell") == F.lit(cid), branch)
-        )
+    carr = _centroid_array(cents)
+    pick = F.filter(carr, lambda c: c["cell"] == F.col("cell"))[0]
     scored = assigned.select(
         "cell",
-        (
-            cos_own if cos_own is not None else F.lit(None).cast("double")
-        ).alias("cos"),
+        _cos(F.col("_v"), F.col("_norm"), pick["cv"], pick["cn"]).alias("cos"),
     )
     r6 = (  # mirror of the guarded ROUND6 template (specials pass through)
         "CASE WHEN abs({x}) < 9.0e12 "
