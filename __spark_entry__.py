@@ -426,6 +426,12 @@ def _run_to_table(out: DataFrame, spark: SparkSession) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # r10 leak guard: if the availableNow run somehow outlives the wait,
+    # stop it — a silently-still-active stream would keep submitting
+    # micro-batch stages underneath every later query in the session
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(30)
     return spark.table(name)
 
 

@@ -360,11 +360,22 @@ def _forkless_fs_confs() -> dict:
     return forkless_fs_confs()
 
 
+def _engine_session_confs() -> dict:
+    """Full engine session recipe: forkless FS + long-session JVM sizing
+    (plans/session.py) — the bench runs the engine's recommended session,
+    not a private configuration."""
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.session import (
+        engine_session_confs,
+    )
+
+    return engine_session_confs()
+
+
 def build_spark():
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder
-    for k, v in _forkless_fs_confs().items():
+    for k, v in _engine_session_confs().items():
         builder = builder.config(k, v)
     return (
         builder.master(f"local[{CPUS}]")
@@ -409,14 +420,25 @@ def main() -> None:
     def run_one(name: str) -> tuple[float, float]:
         # queries are independent workloads: drop cached relations the
         # previous operator materialized so timings don't include
-        # cross-query cache eviction/GC pressure
+        # cross-query cache eviction/GC pressure. cancelAllJobs (r10):
+        # thread dumps during episodic slow windows showed 32-task stages
+        # from an EARLIER query still burning cores while the next query
+        # was being timed (plans/r10 diagnosis); reaping strays keeps
+        # each query's sample measuring only its own work.
+        spark.sparkContext.cancelAllJobs()
         spark.catalog.clearCache()
         c0 = tree_cpu_seconds()
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         df.count() if df.columns else 0
         wall = time.perf_counter() - t0
-        return round(wall, 3), round(tree_cpu_seconds() - c0, 3)
+        # clamp at 0: when a pyspark worker daemon exits mid-query its
+        # accumulated utime leaves the visible process tree, which can
+        # drive the delta negative (r10: profile_documents median read
+        # -16.8 s CPU). A floor keeps the quiet metric sane; the loss is
+        # bounded by the dying daemon's lifetime CPU, which for idle
+        # workers is negligible.
+        return round(wall, 3), round(max(0.0, tree_cpu_seconds() - c0), 3)
 
     def median(vals: list[float]) -> float:
         v = sorted(vals)

@@ -97,16 +97,17 @@ def run(argv: list[str] | None = None, spark=None, glue_client=None) -> int:
         from pyspark.sql import SparkSession
 
         from data_profiler_for_aws_glue_data_catalog_spark.plans.session import (
-            forkless_fs_confs,
+            engine_session_confs,
         )
 
         builder = SparkSession.builder.appName(
             "data_profiler_for_aws_glue_data_catalog_spark"
         )
-        # engine perf contract, not a harness knob: local checkpoint/sink
-        # traffic must not fork a subprocess per file (plans/session.py);
-        # {} when the jar is absent — behavior identical, only slower
-        for k, v in forkless_fs_confs().items():
+        # engine perf contract, not a harness knob: fork-free local file
+        # ops + long-session JVM code-cache sizing (plans/session.py);
+        # graceful when the jar is absent — behavior identical, only
+        # slower on fork-heavy paths
+        for k, v in engine_session_confs().items():
             builder = builder.config(k, v)
         spark = builder.enableHiveSupport().getOrCreate()
 

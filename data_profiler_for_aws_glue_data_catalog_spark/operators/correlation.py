@@ -45,10 +45,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
-    ensure_compute_parallelism,
-)
-
 ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
     "CASE WHEN abs({x}) < 9.0e12 "
     "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
@@ -132,9 +128,7 @@ def _pair_prod_expr(a: str, b: str, k: int, decimal: bool) -> str:
     return f"sum(cast({a} AS double) * cast({b} AS double)) AS p{k}_sxy"
 
 
-def correlation_matrix(
-    df: DataFrame, columns: list[str], widen_scan: bool = True
-) -> DataFrame:
+def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     """Upper-triangle Pearson correlations: (col_a, col_b, n_pairs, corr);
     corr is NULL for degenerate pairs (constant column / n = 0).
 
@@ -153,13 +147,6 @@ def correlation_matrix(
     pairs = _pairs(columns)
     if not pairs:
         raise ValueError("correlation_matrix: need at least 2 columns")
-    # r9 scan-width guard: the pre-pass and the fused moment agg otherwise
-    # run single-task on a split-starved scan (no-op at scale). Callers
-    # whose input is already exchange-wide (spearman's ranked frame) pass
-    # widen_scan=False — the estimator reads FILE sources and cannot see
-    # that an upstream shuffle already distributed the rows.
-    if widen_scan:
-        df = ensure_compute_parallelism(df.select(*columns))
     idx = {c: i for i, c in enumerate(columns)}
     stats = df.selectExpr(
         "count(1) AS n",

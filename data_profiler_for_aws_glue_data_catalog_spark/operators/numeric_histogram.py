@@ -33,10 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
-    ensure_compute_parallelism,
-)
-
 ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
     "CASE WHEN abs({x}) < 9.0e12 "
     "THEN floor(({x}) * 1000000.0 + 0.5) / 1000000.0 ELSE ({x}) END"
@@ -64,9 +60,6 @@ def numeric_histograms(
     """
     if not columns:
         raise ValueError("numeric_histograms: no columns")
-    # r9 scan-width guard: both passes (stats agg + bucket pass) of either
-    # strategy branch from one projected exchange; no-op at scale
-    df = ensure_compute_parallelism(df.select(*columns))
     if len(columns) * n_bins <= 256:
         return _histograms_fused(df, columns, n_bins)
     stats = df.selectExpr(
@@ -238,9 +231,6 @@ def equi_depth_histograms(
     """
     if not columns:
         raise ValueError("equi_depth_histograms: no columns")
-    # r9 scan-width guard — exact percentile + the bucket-assignment pass
-    # share one projected exchange; no-op at scale
-    df = ensure_compute_parallelism(df.select(*columns))
     fn = "percentile" if exact else "percentile_approx"
     extra = "" if exact else f", {accuracy}"
     pts = ", ".join(repr(i / n_bins) for i in range(1, n_bins))

@@ -32,9 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_profiler_for_aws_glue_data_catalog_spark.plans.metrics_frame import sql_ident
-from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
-    ensure_compute_parallelism,
-)
 
 ROUND6 = (  # 6-dp deterministic rounding; specials/huge pass through
     "CASE WHEN abs({x}) < 9.0e12 "
@@ -57,13 +54,6 @@ def iqr_outliers(
     """One row per column with fences + outlier counts (nulls ignored)."""
     if not columns:
         raise ValueError("iqr_outliers: need at least one column")
-    # r9: exact percentiles over a split-starved scan run single-task; the
-    # thresholded guard widens data-sized inputs (no-op at scale / on
-    # small tables). Projection first so the one-time exchange moves only
-    # the profiled columns; both passes reuse the same exchange.
-    df = ensure_compute_parallelism(
-        df.selectExpr(*[sql_ident(c) for c in columns])
-    )
     fn = "percentile" if exact else "percentile_approx"
     extra = "" if exact else f", {accuracy}"
     fences = df.selectExpr(
@@ -209,9 +199,6 @@ def winsorize(
     """
     if not columns:
         raise ValueError("winsorize: need at least one column")
-    # r9 scan-width guard (full width: the clipped output keeps every
-    # input column); no-op at scale — see iqr_outliers
-    df = ensure_compute_parallelism(df)
     fn = "percentile" if exact else "percentile_approx"
     extra = "" if exact else f", {accuracy}"
     bounds = df.selectExpr(
@@ -297,11 +284,6 @@ def mad_outliers(
     """
     if not columns:
         raise ValueError("mad_outliers: need at least one column")
-    # r9 scan-width guard — see iqr_outliers; all three passes reuse the
-    # one exchange
-    df = ensure_compute_parallelism(
-        df.selectExpr(*[sql_ident(c) for c in columns])
-    )
     fn = "percentile" if exact else "percentile_approx"
     extra = "" if exact else f", {accuracy}"
     med = df.selectExpr(

@@ -40,14 +40,9 @@ def _ranked(df: DataFrame, columns: list[str]) -> DataFrame:
     window — near-unique numeric columns make the distinct relation
     data-sized, and the two-phase cumsum keeps ranking parallel there.
     """
-    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
-        ensure_compute_parallelism,
-        partitioned_prefix_sums,
-    )
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import partitioned_prefix_sums
 
-    base = ensure_compute_parallelism(
-        df.na.drop(subset=list(columns)).select(*columns)
-    )
+    base = df.na.drop(subset=list(columns)).select(*columns)
     out = base
     for c in columns:
         freq = base.groupBy(F.col(c).alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
@@ -67,10 +62,7 @@ def _ranked(df: DataFrame, columns: list[str]) -> DataFrame:
 
 def spearman_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
     """Upper-triangle Spearman correlations: (col_a, col_b, n_pairs, corr)."""
-    # widen_scan=False: the ranked frame is already exchange-wide (the
-    # rank joins redistributed it); the file-based width estimate would
-    # insert a useless repartition of the joined rows
-    return correlation_matrix(_ranked(df, columns), columns, widen_scan=False)
+    return correlation_matrix(_ranked(df, columns), columns)
 
 
 def spearman_sql(table: str, columns: list[str]) -> str:

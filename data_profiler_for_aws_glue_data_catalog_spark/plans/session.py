@@ -33,6 +33,28 @@ def _default_jar_path() -> str:
     return os.path.join(os.path.dirname(pkg_root), "jars", "forkless-localfs.jar")
 
 
+def long_session_jvm_confs() -> dict:
+    """JVM sizing for a LONG-LIVED driver running many distinct queries.
+
+    Every distinct query compiles whole-stage-codegen classes; a session
+    that cycles hundreds of distinct plans (a 181-query bench loop, a
+    profiling service, a notebook that lives for days) accumulates and
+    churns far more JIT-compiled code than the JVM's default 240 MB
+    ReservedCodeCacheSize anticipates. Near capacity, the sweeper mass-
+    flushes warm methods and hot paths drop back to the bytecode
+    interpreter until recompiled — observed in r10 as *episodic* multi-
+    minute windows where previously sub-second queries ran 10-100x slow
+    with healthy GC and no long stages (plans/r10 diagnosis in
+    OPTIMIZATION_r10.md). A 512 MB code cache is the standard remedy for
+    codegen-heavy Spark drivers; it costs virtual memory only until used.
+
+    Must be set at JVM launch (session builder), not on a live session.
+    """
+    return {
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    }
+
+
 def forkless_fs_confs(jar: str | None = None, build: bool = True) -> dict:
     """Spark confs binding the fork-free local filesystem, or {} when the
     jar is absent and cannot be built (no JDK / no repo checkout).
@@ -63,3 +85,13 @@ def forkless_fs_confs(jar: str | None = None, build: bool = True) -> dict:
         "spark.hadoop.fs.file.impl": "forklessfs.ForklessLocalFileSystem",
         "spark.hadoop.fs.AbstractFileSystem.file.impl": "forklessfs.ForklessLocalFs",
     }
+
+
+def engine_session_confs() -> dict:
+    """All engine-recommended session confs: forkless local FS (when the
+    jar is available) + long-session JVM sizing. Applied by the CLI
+    session recipe and the bench harness; user sessions can apply the
+    same dict."""
+    confs = dict(long_session_jvm_confs())
+    confs.update(forkless_fs_confs())
+    return confs

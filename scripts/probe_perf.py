@@ -31,7 +31,7 @@ def build_spark():
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder
-    for k, v in bench._forkless_fs_confs().items():
+    for k, v in bench._engine_session_confs().items():
         builder = builder.config(k, v)
     return (
         builder.master(f"local[{CPUS}]")
