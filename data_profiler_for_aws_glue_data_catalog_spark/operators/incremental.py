@@ -83,8 +83,22 @@ def _profiled(df: DataFrame, config: ProfilerConfig):
     return [(c, k, t) for c, k, t in cols if k is not None]
 
 
-def scan_states(df: DataFrame, config: ProfilerConfig | None = None) -> DataFrame:
-    """Mergeable scan state for one increment: one fused agg pass."""
+def scan_states(
+    df: DataFrame,
+    config: ProfilerConfig | None = None,
+    include_hll: bool = True,
+) -> DataFrame:
+    """Mergeable scan state for one increment: one fused agg pass.
+
+    ``include_hll=False`` stores NULL in the ``hll`` column instead of a
+    Datasketches sketch — same state schema, states still merge, but
+    ``approx_distinct_from_states`` over such states yields NULL
+    estimates. Callers that never finish the sketch metric (the declared
+    ``incremental_profile`` query emits exact frequency metrics only)
+    skip the ~C sketch updates + value stringifications per row (r10,
+    guide §1.2: don't compute things you throw away); state-persisting
+    pipelines that want mergeable approx-distinct keep the default.
+    """
     config = config or ProfilerConfig()
     df = T.cast_convertibles(df, config)
     profiled = _profiled(df, config)
@@ -135,7 +149,11 @@ def scan_states(df: DataFrame, config: ProfilerConfig | None = None) -> DataFram
                     "'max_abs', CAST(NULL AS double), "
                 )
             )
-            + f"'hll', hll_sketch_agg(cast({q} AS string), {_HLL_LGK}))"
+            + (
+                f"'hll', hll_sketch_agg(cast({q} AS string), {_HLL_LGK}))"
+                if include_hll
+                else "'hll', CAST(NULL AS binary))"
+            )
         )
     row = df.selectExpr(*[f"({s}) AS s{i}" for i, s in enumerate(structs)])
     return row.selectExpr(
@@ -397,13 +415,36 @@ def incremental_profile(
     (O(new data) each in a real pipeline), merged, finished. Output rows
     equal ``profile_table(union, include_approx=False)``."""
     config = config or ProfilerConfig()
-    sstates = scan_states(increments[0], config)
+    # include_hll=False: this assembled query finishes scan + exact
+    # frequency metrics only — the sketch column would be merged and then
+    # dropped unread, at the cost of one hll update + one value
+    # stringification per row per column (r10; measured in
+    # OPTIMIZATION_r10.md). Pipelines persisting states for later
+    # approx-distinct finishing call scan_states directly with the
+    # default instead.
+    sstates = scan_states(increments[0], config, include_hll=False)
     fstates = frequency_states(increments[0], config)
     for inc in increments[1:]:
-        sstates = sstates.unionByName(scan_states(inc, config))
+        sstates = sstates.unionByName(
+            scan_states(inc, config, include_hll=False)
+        )
         fstates = fstates.unionByName(frequency_states(inc, config))
-    ms = merge_scan_states(sstates)
-    mf = merge_frequency_states(fstates)
+    # materialize the MERGED states once (r10, guide §5): the finishing
+    # expressions consume them from several plan branches (the scalar
+    # frequency agg, the histogram top-k window, the per-column totals,
+    # and the scan-state meta broadcast), and Spark re-runs the merge
+    # aggregation per branch otherwise — measured 4 consumer stages x
+    # ~5.5 s CPU each re-aggregating the same ~11 MB shuffle at sf0.1.
+    # The merged state is the small relation by construction (one row per
+    # column / per distinct value — the same thing a real pipeline would
+    # PERSIST as its state table), so the checkpoint is state-sized, not
+    # data-sized, at any scale.
+    from data_profiler_for_aws_glue_data_catalog_spark.plans.partitioning import (
+        materialize,
+    )
+
+    ms = materialize(merge_scan_states(sstates))
+    mf = materialize(merge_frequency_states(fstates))
     return scan_metrics_from_states(ms).unionByName(
         frequency_metrics_from_states(mf, ms, config)
     )

@@ -2,7 +2,7 @@
 
 Usage:
   python scripts/probe_perf.py explain <out_suffix> <query> [query ...]
-      Dump .explain("formatted") for each query to plans/r09/<query>_<out_suffix>.txt
+      Dump .explain("formatted") for each query to plans/r10/<query>_<out_suffix>.txt
       (no execution — driver-side only).
   python scripts/probe_perf.py time <reps> <query> [query ...]
       Run each query <reps> times against $SPARK_GRAFT_SF_DIR (default
@@ -59,15 +59,15 @@ def main() -> None:
     if mode == "explain":
         suffix = sys.argv[2]
         names = sys.argv[3:]
-        os.makedirs("/root/repo/plans/r09", exist_ok=True)
+        os.makedirs("/root/repo/plans/r10", exist_ok=True)
         for n in names:
             df = qs[n](spark, SF_DIR)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            with open(f"/root/repo/plans/r09/{n}_{suffix}.txt", "w") as f:
+            with open(f"/root/repo/plans/r10/{n}_{suffix}.txt", "w") as f:
                 f.write(txt)
-            print(f"wrote plans/r09/{n}_{suffix}.txt ({len(txt)} bytes)")
+            print(f"wrote plans/r10/{n}_{suffix}.txt ({len(txt)} bytes)")
         return
 
     if mode == "time":

@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 from data_profiler_for_aws_glue_data_catalog_spark import ProfilerConfig, profile_table
 from data_profiler_for_aws_glue_data_catalog_spark import oracle as orc
 
+import pytest
+
+# generated-table differential fuzz (~40 s): fuzz machinery, soak lane
+pytestmark = pytest.mark.soak
+
+
 # 6-dp grid doubles within |x| <= 1e6: inside the two-sided decimal domain
 # (1e-3 floor never binds: grid points below it are exact multiples of 1e-6,
 # and the guard only reroutes columns, identically in both engines).

@@ -19,6 +19,12 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
+# full-surface sweep (~130 s): redundant with the driver oracle gate per run; soak lane + round-end manual run cover it
+pytestmark = pytest.mark.soak
+
+
 sys.path.insert(0, "/root/repo")
 
 
