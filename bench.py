@@ -627,9 +627,14 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(full, f)
     # per-round archive: never overwritten by a later round, so the next
-    # round's comparison (and the judge) can read this round's full map
-    with open(os.path.join(here, f"BENCH_DETAIL_r{cur_round:02d}.json"),
-              "w") as f:
+    # round's comparison (and the judge) can read this round's full map.
+    # Non-default core counts get their own file (r10): the driver also
+    # benches at a lower CPU count, and that run must not clobber the
+    # 32-cpu archive the round-over-round comparison reads.
+    suffix = "" if CPUS == "32" else f"_c{CPUS}"
+    with open(
+        os.path.join(here, f"BENCH_DETAIL_r{cur_round:02d}{suffix}.json"), "w"
+    ) as f:
         json.dump(full, f)
     print(json.dumps(full), flush=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
